@@ -1,0 +1,67 @@
+"""Corpus I/O.
+
+Replaces the reference's hard-coded ``n -> data file`` table
+(``/root/reference/main.c:32-123``, ``select_data_file``) and the missing
+``load_files`` helper with explicit loading: raw pre-encoded files (like the
+reference's data-cuda-multi corpora), ASCII/FASTA files encoded through an
+Alphabet, and synthetic corpora.  Also provides per-host offset loading so a
+multi-host run never materializes the full text on one host (the reference's
+rank-0 ``textFull`` load, ``main.c:386,453``, does — a scaling bug we avoid).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from tpu_smatcher.core.alphabet import Alphabet
+
+
+@dataclasses.dataclass(frozen=True)
+class Corpus:
+    codes: np.ndarray       # (n,) uint8 encoded text
+    alphabet: Alphabet
+    name: str = ""
+
+    @property
+    def n(self) -> int:
+        return int(self.codes.shape[0])
+
+
+def load_raw(path: str, alphabet: Alphabet, name: str = "") -> Corpus:
+    """Load a whole pre-encoded or mappable byte file."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    return Corpus(alphabet.encode(raw), alphabet, name or os.path.basename(path))
+
+
+def load_fasta(path: str, alphabet: Alphabet, name: str = "") -> Corpus:
+    """Load a FASTA file: strip '>' header lines and newlines, encode."""
+    chunks = []
+    with open(path, "rb") as f:
+        for line in f:
+            if line.startswith(b">"):
+                continue
+            chunks.append(line.strip())
+    return Corpus(alphabet.encode(b"".join(chunks)), alphabet, name or os.path.basename(path))
+
+
+def load_shard(path: str, alphabet: Alphabet, shard: int, num_shards: int,
+               halo: int) -> tuple[np.ndarray, int]:
+    """Load only this host's byte range ``[shard*chunk, (shard+1)*chunk + halo)``
+    of a pre-encoded file (clamped to EOF), mirroring the reference's
+    displacement math (``main.c:463-477``) without a rank-0 full read.
+
+    Returns (encoded shard, global start offset)."""
+    size = os.path.getsize(path)
+    chunk = -(-size // num_shards)  # ceil
+    start = shard * chunk
+    stop = min(size, (shard + 1) * chunk + halo)
+    if start >= size:
+        return np.zeros(0, np.uint8), start
+    with open(path, "rb") as f:
+        f.seek(start)
+        raw = f.read(stop - start)
+    return alphabet.encode(raw), start
