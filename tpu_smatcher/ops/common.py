@@ -1,0 +1,91 @@
+"""Shared kernel-side utilities (jnp).
+
+Padding convention: kernels right-pad text with the out-of-alphabet symbol
+``sigma``.  Tables consumed by kernels are extended so the pad symbol is
+always safe (resets AC to root, kills SH/SBOM walks, lands WM hashes in
+non-candidate slots); filter-engine false candidates on pad windows are
+killed by exact verification (a pad byte can never equal a pattern byte).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def pad_col(table: np.ndarray, value: int) -> np.ndarray:
+    """Append one column (the pad symbol's) with a constant value."""
+    S = table.shape[0]
+    return np.concatenate([table, np.full((S, 1), value, table.dtype)], axis=1)
+
+
+def word_streams(chunk: jnp.ndarray, m: int, n_starts: int) -> jnp.ndarray:
+    """(n_starts, W) int32 little-endian packed windows of chunk.
+
+    Word w of window s packs chunk[s+4w .. s+4w+nb) (nb = min(4, m-4w)),
+    zero-padded — bit-identical to automata.verify.pack_rows.  Built from
+    shifted slices only (no gathers)."""
+    t = chunk.astype(jnp.int32)
+    W = cdiv(m, 4)
+    streams = []
+    for w in range(W):
+        nb = min(4, m - 4 * w)
+        acc = jnp.zeros((n_starts,), jnp.int32)
+        for k in range(nb):
+            off = 4 * w + k
+            acc = acc | (jax.lax.dynamic_slice(t, (off,), (n_starts,)) << (8 * k))
+        streams.append(acc)
+    return jnp.stack(streams, axis=1)
+
+
+def verify_starts(chunk: jnp.ndarray, cand: jnp.ndarray, *, packed: jnp.ndarray,
+                  bucket_ids_flat: jnp.ndarray, lmax: int, sigma: int, m: int) -> jnp.ndarray:
+    """Exact verification of candidate window starts.
+
+    chunk: (L,) uint8; cand: (n_starts,) bool over starts [0, n_starts).
+    Returns bool (n_starts,): window equals >= 1 pattern.  TPU-native
+    replacement for the reference's three verification paths (WM PREFIX
+    lists wu/wu.c:184-201, SOG RK binary search sog/sog8.c:51-95, SBOM
+    state lists sbom/sbom.c:176-190): last-gram buckets padded to lmax,
+    word-packed full-window compares, <=1 count per position."""
+    n_starts = cand.shape[0]
+    win = word_streams(chunk, m, n_starts)                      # (n_starts, W)
+    c0 = jax.lax.dynamic_slice(chunk, (m - 3,), (n_starts,)).astype(jnp.int32)
+    c1 = jax.lax.dynamic_slice(chunk, (m - 2,), (n_starts,)).astype(jnp.int32)
+    c2 = jax.lax.dynamic_slice(chunk, (m - 1,), (n_starts,)).astype(jnp.int32)
+    key = c0 + c1 * sigma + c2 * (sigma * sigma)                # clipped gathers OK
+    key = jnp.minimum(key, bucket_ids_flat.shape[0] // lmax - 1)
+
+    def body(l, matched):
+        pid = bucket_ids_flat[key * lmax + l]                   # (n_starts,)
+        live = cand & (pid >= 0) & ~matched
+        rows = jnp.take(packed, jnp.maximum(pid, 0), axis=0)    # (n_starts, W)
+        eq = jnp.all(rows == win, axis=1)
+        return matched | (live & eq)
+
+    matched = jnp.zeros((n_starts,), bool)
+    return jax.lax.fori_loop(0, lmax, body, matched)
+
+
+def tiled_count(per_tile, text: jnp.ndarray, n: int, *, tile: int, m: int,
+                sigma: int) -> jnp.ndarray:
+    """Sum per_tile(chunk) over tiles of `tile` owned starts each.
+
+    per_tile receives a (tile + m - 1,) chunk and must return the int32 count
+    over its first `tile` window starts.  Text is right-padded with sigma."""
+    num_tiles = max(1, cdiv(max(n - m + 1, 1), tile))
+    padded_len = num_tiles * tile + m - 1
+    padded = jnp.full((padded_len,), sigma, jnp.uint8).at[:n].set(text[:n])
+
+    def body(i, acc):
+        chunk = jax.lax.dynamic_slice(padded, (i * tile,), (tile + m - 1,))
+        return acc + per_tile(chunk)
+
+    return jax.lax.fori_loop(0, num_tiles, body, jnp.int32(0))
