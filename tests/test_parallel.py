@@ -1,0 +1,75 @@
+"""Distributed scans on the virtual 8-device CPU mesh: halo exchange over the
+mesh axis + psum count reduction must be exact for every engine."""
+
+import numpy as np
+import pytest
+import jax
+
+from tpu_smatcher.core.alphabet import Alphabet
+from tpu_smatcher.core import datagen
+from tpu_smatcher.core.patterns import PatternSet
+from tpu_smatcher.engines import make_distributed
+from tpu_smatcher.parallel import make_mesh
+
+
+def make_case(sigma, m, p_size, n, seed):
+    ab = Alphabet.of_size(sigma)
+    text = datagen.generate_text(n, ab, seed=seed)
+    pats = datagen.generate_patterns(text, p_size, m, ab, frac_present=0.6, seed=seed + 1)
+    return text, pats
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("engine", ["ac", "wm", "sog8", "sh", "sbom"])
+def test_distributed_count_exact(engine):
+    sigma, m = 4, 8
+    text, pats = make_case(sigma, m, 64, 200_000, seed=3)
+    expected = datagen.count_matches(text, pats)
+    mesh = make_mesh(8)
+    dc = make_distributed(engine, pats, mesh, lanes=64, tile=1 << 12)
+    assert dc.count(text) == expected
+
+
+@pytest.mark.parametrize("n_devices", [1, 2, 4, 8])
+def test_mesh_size_invariance(n_devices):
+    text, pats = make_case(4, 16, 32, 120_000, seed=9)
+    expected = datagen.count_matches(text, pats)
+    mesh = make_mesh(n_devices)
+    dc = make_distributed("ac", pats, mesh, lanes=32)
+    assert dc.count(text) == expected
+
+
+def test_boundary_straddling_matches():
+    """Matches exactly straddling shard boundaries ride the ICI halo."""
+    ab = Alphabet.dna()
+    m = 8
+    n = 80_000
+    per = n // 8
+    pat = ab.encode(b"ACGTTGCA")
+    text = datagen.generate_text(n, ab, seed=17)
+    plant_at = []
+    for b in range(1, 8):
+        plant_at += [b * per - m + 1, b * per - 1, b * per]
+    plant_at.append(n - m)
+    text = datagen.plant(text, pat, plant_at)
+    pats = PatternSet(pat[None, :], ab)
+    expected = datagen.count_matches(text, pats)
+    # overlapping plants at one boundary overwrite each other; at least the
+    # last plant per boundary + the corpus-end plant survive
+    assert expected >= 8
+    mesh = make_mesh(8)
+    for engine in ("ac", "wm", "sbom"):
+        dc = make_distributed(engine, pats, mesh, lanes=16, tile=1 << 12)
+        assert dc.count(text) == expected, engine
+
+
+def test_uneven_text_length():
+    """n not divisible by the mesh: sigma-padding must not change counts."""
+    text, pats = make_case(4, 8, 32, 100_003, seed=21)
+    expected = datagen.count_matches(text, pats)
+    mesh = make_mesh(8)
+    dc = make_distributed("wm", pats, mesh, tile=1 << 12)
+    assert dc.count(text) == expected

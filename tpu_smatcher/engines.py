@@ -44,3 +44,11 @@ def make_engine(name: str, patterns: PatternSet, *, lanes: int = 8192,
         width = int(name[3:])
         return SOGScanner(build_sog(codes, sigma, width), build_verify(codes, sigma), tile=tile)
     raise ValueError(f"unknown engine {name!r}; expected one of {ENGINE_NAMES}")
+
+
+def make_distributed(name: str, patterns: PatternSet, mesh, **opts):
+    """Distributed engine over a 1-D device mesh: tables replicated, text
+    sharded with ICI halo exchange, count psum-reduced (parallel/dist.py)."""
+    from tpu_smatcher.parallel.dist import DistributedCounter
+    eng = make_engine(name, patterns, **opts)
+    return DistributedCounter(eng.core, mesh, m=patterns.m, sigma=patterns.sigma)

@@ -36,10 +36,11 @@ def segment(text: jnp.ndarray, n: int, *, lanes: int, m: int, sigma: int) -> jnp
     return jnp.concatenate([main, halo], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("sig_p", "m", "lanes", "n"))
-def ac_count(text: jnp.ndarray, dp_flat: jnp.ndarray, *, sig_p: int, m: int,
-             lanes: int, n: int) -> jnp.ndarray:
-    """Total match count. dp_flat: (S * sig_p,) int32 packed next*2|final."""
+def ac_count_core(text: jnp.ndarray, dp_flat: jnp.ndarray, *, sig_p: int, m: int,
+                  lanes: int) -> jnp.ndarray:
+    """Traceable core (usable under jit and shard_map): total match count.
+    dp_flat: (S * sig_p,) int32 packed next*2|final."""
+    n = text.shape[0]
     if n < m:
         return jnp.int32(0)
     tiles = segment(text, n, lanes=lanes, m=m, sigma=sig_p - 1).T  # (T, lanes)
@@ -50,6 +51,13 @@ def ac_count(text: jnp.ndarray, dp_flat: jnp.ndarray, *, sig_p: int, m: int,
 
     _, counts = jax.lax.scan(step, jnp.zeros((lanes,), jnp.int32), tiles.astype(jnp.int32))
     return jnp.sum(counts, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("sig_p", "m", "lanes", "n"))
+def ac_count(text: jnp.ndarray, dp_flat: jnp.ndarray, *, sig_p: int, m: int,
+             lanes: int, n: int) -> jnp.ndarray:
+    """Total match count. dp_flat: (S * sig_p,) int32 packed next*2|final."""
+    return ac_count_core(text[:n], dp_flat, sig_p=sig_p, m=m, lanes=lanes)
 
 
 @functools.partial(jax.jit, static_argnames=("sig_p", "m", "lanes", "n", "q", "cbits"))
@@ -135,6 +143,11 @@ class ACScanner:
                                 lanes=self.lanes, n=n))
         return int(ac_count_q(text, self.tq, sig_p=self.sig_p, m=self.m,
                               lanes=self.lanes, n=n, q=self.q, cbits=self.cbits))
+
+    def core(self, ext: jnp.ndarray) -> jnp.ndarray:
+        """Traceable per-shard count (for shard_map distribution)."""
+        return ac_count_core(ext, self.dp, sig_p=self.sig_p, m=self.m,
+                             lanes=self.lanes)
 
     def match_ends(self, text) -> np.ndarray:
         text = jnp.asarray(text, jnp.uint8)

@@ -1,0 +1,248 @@
+"""The shared TPU fast path: dense bitmap filters + sparse exact verification.
+
+Rationale (measured, scripts/probe_dyngather*.py + probe_lookup_scale.py):
+on TPU the five reference algorithms' branchy skip loops and big-table
+gathers are all slower than one shared kernel skeleton built from the two
+primitives the hardware is actually fast at —
+
+  1. DENSE stage: per-window 16-bit keys (exact packed window ids when
+     sigma^m <= 2^16, else polynomial fingerprints) tested against 65536-bit
+     bitmaps via 128-lane dynamic_gather banks.  Pure elementwise + lane
+     gathers: XLA fuses the whole chain into a streaming pass (~hundreds of
+     GB/s on v5e).
+  2. SPARSE stage: candidates compacted with jnp.nonzero(size=CAP) and
+     verified exactly (window-word compares against fingerprint-bucketed
+     patterns).  Generic gathers are slow (~0.13 G/s) but run on only the
+     CAP-bounded candidate set.
+
+When the window id is exact (e.g. DNA m<=8, binary m<=16), stage 1 alone is
+the complete engine — the bitmap is literally the final-state table of the
+complete window automaton (an AC DFA over all sigma^m window states whose
+transition is a shift — no gathers needed for transitions at all).
+
+Counts are the shared semantics of all five reference engines (SURVEY.md §7):
+number of window positions with >= 1 exact pattern occurrence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_smatcher.ops.lookup import bitmap_test, pack_bitmap
+from tpu_smatcher.automata.verify import pack_rows
+
+BITMAP_BITS = 1 << 16
+#: fingerprint multipliers per stage (odd => invertible mod 2^16)
+FP_MULTS = (0x9E37, 0x6A09, 0xB2D1)
+DEFAULT_TILE = 1 << 24
+DEFAULT_CAP = 1 << 17
+
+
+def _bits_per_char(sigma: int) -> int:
+    return max(1, (sigma - 1).bit_length())
+
+
+def exact_wid_supported(sigma: int, m: int) -> bool:
+    return m * _bits_per_char(sigma) <= 16
+
+
+def _wid_keys_np(patterns: np.ndarray, sigma: int) -> np.ndarray:
+    bits = _bits_per_char(sigma)
+    w = np.zeros(len(patterns), np.int64)
+    for i in range(patterns.shape[1]):
+        w = (w << bits) | patterns[:, i]
+    return w
+
+
+def _fp_keys_np(patterns: np.ndarray, mult: int) -> np.ndarray:
+    fp = np.zeros(len(patterns), np.int64)
+    rp = 1
+    for i in range(patterns.shape[1]):
+        fp = (fp + patterns[:, i].astype(np.int64) * rp) & 0xFFFF
+        rp = (rp * mult) & 0xFFFF
+    return fp
+
+
+@dataclasses.dataclass
+class FastTables:
+    exact: bool
+    m: int
+    sigma: int
+    n_stages: int
+    bitmaps: tuple          # n_stages device arrays (16, 128) int32
+    # verification tables (None when exact):
+    bucket_ids: object      # (65536 * L,) int32 device, -1 padded
+    lmax: int
+    packed: object          # (p, W) int32 device
+    words: int
+
+
+def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None) -> FastTables:
+    patterns = np.asarray(patterns, np.uint8)
+    p, m = patterns.shape
+    if exact_wid_supported(sigma, m):
+        bm = pack_bitmap(_wid_keys_np(patterns, sigma), BITMAP_BITS)
+        return FastTables(True, m, sigma, 1, (jnp.asarray(bm),), None, 0, None, 0)
+
+    if n_stages is None:
+        # enough stages that FPR^k * tile stays within the sparse budget
+        fpr = min(0.999, p / BITMAP_BITS + 1e-6)
+        k = 1
+        while fpr ** k * DEFAULT_TILE > DEFAULT_CAP / 4 and k < len(FP_MULTS):
+            k += 1
+        n_stages = k
+    n_stages = min(n_stages, len(FP_MULTS))
+
+    bitmaps = []
+    fp0 = None
+    for s in range(n_stages):
+        keys = _fp_keys_np(patterns, FP_MULTS[s])
+        if s == 0:
+            fp0 = keys
+        bitmaps.append(jnp.asarray(pack_bitmap(keys, BITMAP_BITS)))
+
+    # verification buckets keyed by stage-0 fingerprint
+    size = np.bincount(fp0, minlength=BITMAP_BITS)
+    lmax = max(1, int(size.max(initial=0)))
+    bucket = np.full((BITMAP_BITS, lmax), -1, np.int32)
+    slot = np.zeros(BITMAP_BITS, np.int64)
+    for j in range(p):
+        h = int(fp0[j])
+        bucket[h, slot[h]] = j
+        slot[h] += 1
+    packed = pack_rows(patterns)
+    return FastTables(False, m, sigma, n_stages,
+                      tuple(bitmaps), jnp.asarray(bucket.reshape(-1)), lmax,
+                      jnp.asarray(packed), packed.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# dense key computation (traceable)
+# ---------------------------------------------------------------------------
+
+def _slice(x, off, size):
+    return jax.lax.dynamic_slice(x, (off,), (size,))
+
+
+def _wid_keys(chunk: jnp.ndarray, n_starts: int, m: int, sigma: int) -> jnp.ndarray:
+    bits = _bits_per_char(sigma)
+    t = chunk.astype(jnp.int32)
+    w = jnp.zeros((n_starts,), jnp.int32)
+    for i in range(m):
+        w = (w << bits) | _slice(t, i, n_starts)
+    return w & 0xFFFF
+
+
+def _fp_keys(chunk: jnp.ndarray, n_starts: int, m: int, mult: int) -> jnp.ndarray:
+    t = chunk.astype(jnp.int32)
+    fp = jnp.zeros((n_starts,), jnp.int32)
+    rp = 1
+    for i in range(m):
+        fp = (fp + _slice(t, i, n_starts) * rp) & 0xFFFF
+        rp = (rp * mult) & 0xFFFF
+    return fp
+
+
+# ---------------------------------------------------------------------------
+# the scan
+# ---------------------------------------------------------------------------
+
+def fast_count_core(text: jnp.ndarray, ft: FastTables, *, tile: int = DEFAULT_TILE,
+                    cap: int = DEFAULT_CAP):
+    """Traceable: returns (count, overflowed) — overflowed=1 means some tile
+    had more than `cap` candidates and the count may undercount; callers
+    fall back to a dense engine in that case (never silently wrong)."""
+    n = text.shape[0]
+    m = ft.m
+    if n < m:
+        return jnp.int32(0), jnp.int32(0)
+    num_tiles = max(1, -(-(n - m + 1) // tile))
+    padded_len = num_tiles * tile + m - 1
+    padded = jnp.zeros((padded_len,), jnp.uint8).at[:n].set(text[:n])
+    n_valid_total = n - m + 1     # number of real window starts
+
+    def per_tile(i, carry):
+        count, overflow = carry
+        chunk = jax.lax.dynamic_slice(padded, (i * tile,), (tile + m - 1,))
+        # valid starts in this tile
+        limit = jnp.clip(n_valid_total - i * tile, 0, tile)
+        valid = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0).reshape(-1) < limit
+
+        if ft.exact:
+            keys = _wid_keys(chunk, tile, m, ft.sigma)
+            hit = bitmap_test(ft.bitmaps[0], keys)
+            return (count + jnp.sum(jnp.where(valid, hit, 0), dtype=jnp.int32),
+                    overflow)
+
+        fp0 = _fp_keys(chunk, tile, m, FP_MULTS[0])
+        cand = bitmap_test(ft.bitmaps[0], fp0) == 1
+        for s in range(1, ft.n_stages):
+            fps = _fp_keys(chunk, tile, m, FP_MULTS[s])
+            cand &= bitmap_test(ft.bitmaps[s], fps) == 1
+        cand &= valid
+        n_cand = jnp.sum(cand, dtype=jnp.int32)
+        idxs = jnp.nonzero(cand, size=cap, fill_value=tile + m - 1)[0]
+        live = idxs < tile
+        idxs = jnp.minimum(idxs, tile - 1)
+        # sparse exact verification
+        t32 = chunk.astype(jnp.int32)
+        words = []
+        for w in range(ft.words):
+            nb = min(4, m - 4 * w)
+            acc = jnp.zeros((cap,), jnp.int32)
+            for k in range(nb):
+                acc = acc | (t32[idxs + 4 * w + k] << (8 * k))
+            words.append(acc)
+        key0 = fp0[idxs]
+        matched = jnp.zeros((cap,), bool)
+        for l in range(ft.lmax):
+            pid = ft.bucket_ids[key0 * ft.lmax + l]
+            ok = live & (pid >= 0) & ~matched
+            pid_c = jnp.maximum(pid, 0)
+            eq = jnp.ones((cap,), bool)
+            for w in range(ft.words):
+                eq &= ft.packed[pid_c, w] == words[w]
+            matched |= ok & eq
+        return (count + jnp.sum(matched, dtype=jnp.int32),
+                overflow | jnp.int32(n_cand > cap))
+
+    return jax.lax.fori_loop(0, num_tiles, per_tile,
+                             (jnp.int32(0), jnp.int32(0)))
+
+
+class FastScanner:
+    """Shared fast backend; counts equal every engine's count."""
+
+    def __init__(self, ft: FastTables, *, tile: int = DEFAULT_TILE,
+                 cap: int = DEFAULT_CAP):
+        self.ft = ft
+        self.tile = tile
+        self.cap = cap
+        self.m = ft.m
+        self.sigma = ft.sigma
+        self._jit = jax.jit(functools.partial(
+            fast_count_core, ft=ft, tile=tile, cap=cap))
+
+    def count_with_overflow(self, text) -> tuple[int, bool]:
+        text = jnp.asarray(text, jnp.uint8)
+        c, o = self._jit(text)
+        return int(c), bool(o)
+
+    def count(self, text) -> int:
+        c, o = self.count_with_overflow(text)
+        if o:
+            raise OverflowError(
+                "candidate cap exceeded; raise cap= or use a dense engine")
+        return c
+
+    def core(self, ext):
+        """Traceable per-shard count for distribution (overflow folded in:
+        psum of counts; overflow raises only via count())."""
+        c, _ = fast_count_core(ext, self.ft, tile=self.tile, cap=self.cap)
+        return c

@@ -44,10 +44,10 @@ def _slice(chunk, off, size):
 # Wu-Manber
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("sigma", "m", "lmax", "tile", "n"))
-def wm_count(text, shift_ext, packed, bucket_ids_flat, *, sigma, m, lmax, tile, n):
+def wm_count_core(text, shift_ext, packed, bucket_ids_flat, *, sigma, m, lmax, tile):
     """shift_ext: SHIFT extended to the (sigma+1)-char hash space so pad
     windows hash to non-candidate (init-value) slots."""
+    n = text.shape[0]
     if n < m:
         return jnp.int32(0)
     b = 1 << 2  # reference 2-bit block hash (wu/wu.c:64-67)
@@ -66,14 +66,20 @@ def wm_count(text, shift_ext, packed, bucket_ids_flat, *, sigma, m, lmax, tile, 
     return tiled_count(per_tile, text, n, tile=tile, m=m, sigma=sigma)
 
 
+@functools.partial(jax.jit, static_argnames=("sigma", "m", "lmax", "tile", "n"))
+def wm_count(text, shift_ext, packed, bucket_ids_flat, *, sigma, m, lmax, tile, n):
+    return wm_count_core(text[:n], shift_ext, packed, bucket_ids_flat,
+                         sigma=sigma, m=m, lmax=lmax, tile=tile)
+
+
 # ---------------------------------------------------------------------------
 # SOG
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("sigma", "m", "lmax", "tile", "n"))
-def sog_count(text, t_table, packed, bucket_ids_flat, *, sigma, m, lmax, tile, n):
+def sog_count_core(text, t_table, packed, bucket_ids_flat, *, sigma, m, lmax, tile):
     """t_table: (sigma**3,) uint32.  Pad grams clip into the table; any false
     candidate they produce is killed by exact verification."""
+    n = text.shape[0]
     if n < m:
         return jnp.int32(0)
 
@@ -97,6 +103,12 @@ def sog_count(text, t_table, packed, bucket_ids_flat, *, sigma, m, lmax, tile, n
     return tiled_count(per_tile, text, n, tile=tile, m=m, sigma=sigma)
 
 
+@functools.partial(jax.jit, static_argnames=("sigma", "m", "lmax", "tile", "n"))
+def sog_count(text, t_table, packed, bucket_ids_flat, *, sigma, m, lmax, tile, n):
+    return sog_count_core(text[:n], t_table, packed, bucket_ids_flat,
+                          sigma=sigma, m=m, lmax=lmax, tile=tile)
+
+
 # ---------------------------------------------------------------------------
 # SH / SBOM backward walks
 # ---------------------------------------------------------------------------
@@ -118,11 +130,11 @@ def _backward_walk(chunk, trans_flat, sig_p, m, tile):
     return state, alive
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "m", "tile", "n"))
-def sh_count(text, trans_flat, final, *, sigma, m, tile, n):
+def sh_count_core(text, trans_flat, final, *, sigma, m, tile):
     """trans_flat: (S*(sigma+1),) int32 reversed-trie transitions with -1
     missing and a -1 pad column.  Terminal states are exactly full-pattern
     walks, so no verification is needed."""
+    n = text.shape[0]
     if n < m:
         return jnp.int32(0)
     sig_p = sigma + 1
@@ -134,9 +146,14 @@ def sh_count(text, trans_flat, final, *, sigma, m, tile, n):
     return tiled_count(per_tile, text, n, tile=tile, m=m, sigma=sigma)
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "m", "lmax", "tile", "n"))
-def sbom_count(text, trans_flat, final_count, packed, bucket_ids_flat, *,
-               sigma, m, lmax, tile, n):
+@functools.partial(jax.jit, static_argnames=("sigma", "m", "tile", "n"))
+def sh_count(text, trans_flat, final, *, sigma, m, tile, n):
+    return sh_count_core(text[:n], trans_flat, final, sigma=sigma, m=m, tile=tile)
+
+
+def sbom_count_core(text, trans_flat, final_count, packed, bucket_ids_flat, *,
+                    sigma, m, lmax, tile):
+    n = text.shape[0]
     if n < m:
         return jnp.int32(0)
     sig_p = sigma + 1
@@ -150,6 +167,13 @@ def sbom_count(text, trans_flat, final_count, packed, bucket_ids_flat, *,
         return jnp.sum(matched, dtype=jnp.int32)
 
     return tiled_count(per_tile, text, n, tile=tile, m=m, sigma=sigma)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "m", "lmax", "tile", "n"))
+def sbom_count(text, trans_flat, final_count, packed, bucket_ids_flat, *,
+               sigma, m, lmax, tile, n):
+    return sbom_count_core(text[:n], trans_flat, final_count, packed,
+                           bucket_ids_flat, sigma=sigma, m=m, lmax=lmax, tile=tile)
 
 
 # ---------------------------------------------------------------------------
@@ -173,6 +197,10 @@ class WMScanner:
                             sigma=self.sigma, m=self.m, lmax=self.lmax,
                             tile=self.tile, n=int(text.shape[0])))
 
+    def core(self, ext):
+        return wm_count_core(ext, self.shift_ext, self.packed, self.bucket_ids,
+                             sigma=self.sigma, m=self.m, lmax=self.lmax, tile=self.tile)
+
 
 class SOGScanner:
     def __init__(self, sog: SOGTables, vt: VerifyTables, *, tile: int = DEFAULT_TILE):
@@ -187,6 +215,10 @@ class SOGScanner:
                              sigma=self.sigma, m=self.m, lmax=self.lmax,
                              tile=self.tile, n=int(text.shape[0])))
 
+    def core(self, ext):
+        return sog_count_core(ext, self.t_table, self.packed, self.bucket_ids,
+                              sigma=self.sigma, m=self.m, lmax=self.lmax, tile=self.tile)
+
 
 class SHScanner:
     def __init__(self, sh: SHTables, *, tile: int = DEFAULT_TILE):
@@ -198,6 +230,10 @@ class SHScanner:
         text = jnp.asarray(text, jnp.uint8)
         return int(sh_count(text, self.trans, self.final, sigma=self.sigma,
                             m=self.m, tile=self.tile, n=int(text.shape[0])))
+
+    def core(self, ext):
+        return sh_count_core(ext, self.trans, self.final,
+                             sigma=self.sigma, m=self.m, tile=self.tile)
 
 
 class SBOMScanner:
@@ -213,3 +249,8 @@ class SBOMScanner:
         return int(sbom_count(text, self.trans, self.final_count, self.packed,
                               self.bucket_ids, sigma=self.sigma, m=self.m,
                               lmax=self.lmax, tile=self.tile, n=int(text.shape[0])))
+
+    def core(self, ext):
+        return sbom_count_core(ext, self.trans, self.final_count, self.packed,
+                               self.bucket_ids, sigma=self.sigma, m=self.m,
+                               lmax=self.lmax, tile=self.tile)

@@ -1,0 +1,75 @@
+"""Distributed scans: shard_map + ICI halo exchange + psum reduction.
+
+The reference's distribution is exactly four MPI collectives (SURVEY.md §2.2):
+Scatterv of the text with an (m-1)-byte halo per rank (main.c:467-489),
+Bcast of the patterns (main.c:492), and two Reduces (count + timings,
+main.c:654-661).  Here:
+
+  - the text lives sharded on a 1-D mesh ('data' axis);
+  - each device pulls its (m-1)-byte halo from its right neighbor with a
+    single cyclic `lax.ppermute` over ICI (the last shard's halo is replaced
+    by the out-of-alphabet pad, since it has no right neighbor);
+  - tables are replicated (closed over in the shard_map body);
+  - every device scans its shard + halo with any engine core and the global
+    count is one `lax.psum`.
+
+Exactness: device i owns window starts [i*per, (i+1)*per); a window starting
+in shard i ends within shard i + its halo, and every start belongs to exactly
+one shard — the same partition argument as the reference's rank decomposition.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tpu_smatcher.parallel.mesh import DATA_AXIS, make_mesh, shard_text
+
+
+class DistributedCounter:
+    """Wrap a single-device traceable count core into a mesh-distributed one.
+
+    core_fn(local_text_with_halo) -> int32 count over starts
+    [0, len - m + 1) of its argument.  Must be shard_map-traceable.
+    """
+
+    def __init__(self, core_fn, mesh, *, m: int, sigma: int, axis: str = DATA_AXIS):
+        self.mesh = mesh
+        self.m = m
+        self.sigma = sigma
+        self.axis = axis
+        k = mesh.shape[axis]
+        halo = m - 1
+        perm = [((i + 1) % k, i) for i in range(k)]   # right neighbor -> me
+
+        def local_count(local):                        # (per,) on each device
+            if halo > 0:
+                edge = jax.lax.slice(local, (0,), (halo,))
+                recv = jax.lax.ppermute(edge, axis, perm)
+                idx = jax.lax.axis_index(axis)
+                recv = jnp.where(idx == k - 1,
+                                 jnp.full((halo,), sigma, local.dtype), recv)
+                ext = jnp.concatenate([local, recv])
+            else:
+                ext = local
+            return jax.lax.psum(core_fn(ext), axis)
+
+        # check_vma=False: engine cores initialize lax.scan carries with
+        # fresh (unvarying) zeros, which is sound here — every device runs
+        # the identical program on its own shard.
+        self._fn = jax.jit(shard_map(
+            local_count, mesh=mesh,
+            in_specs=P(axis), out_specs=P(), check_vma=False))
+
+    def count(self, text) -> int:
+        """text: numpy array (host) or already-sharded device array."""
+        import numpy as np
+        if isinstance(text, np.ndarray):
+            sharded, _ = shard_text(text, self.mesh, sigma=self.sigma, axis=self.axis)
+        else:
+            sharded = text
+        return int(self._fn(sharded))
