@@ -1,0 +1,82 @@
+"""Fast backend (ops/fast.py + ops/pallas_filter.py) vs ground truth."""
+
+import numpy as np
+import pytest
+
+from tpu_smatcher.core.alphabet import Alphabet
+from tpu_smatcher.core import datagen
+from tpu_smatcher.core.patterns import PatternSet
+from tpu_smatcher.engines import make_fast
+from tpu_smatcher.ops.fast import build_fast, exact_wid_supported
+
+
+def make_case(sigma, m, p_size, n, seed):
+    ab = Alphabet.of_size(sigma)
+    text = datagen.generate_text(n, ab, seed=seed)
+    pats = datagen.generate_patterns(text, p_size, m, ab, frac_present=0.6, seed=seed + 1)
+    return text, pats
+
+
+CASES = [
+    (2, 8, 16, 120_000),     # exact tier (2^8 ids)
+    (2, 16, 16, 120_000),    # exact tier (2^16 ids)
+    (4, 8, 200, 120_000),    # exact tier (4^8 ids)
+    (4, 16, 64, 120_000),    # fp tier
+    (4, 32, 32, 120_000),    # fp tier
+    (20, 8, 64, 120_000),    # fp tier
+    (128, 8, 32, 120_000),   # fp tier
+]
+
+
+@pytest.mark.parametrize("sigma,m,p_size,n", CASES)
+def test_fast_xla_counts(sigma, m, p_size, n):
+    text, pats = make_case(sigma, m, p_size, n, seed=3 * sigma + m)
+    expected = datagen.count_matches(text, pats)
+    eng = make_fast(pats, tile=1 << 14, cap=1 << 12, backend="xla")
+    assert eng.ft.exact == exact_wid_supported(sigma, m)
+    assert eng.count(text) == expected
+
+
+@pytest.mark.parametrize("sigma,m,p_size,n", [(4, 8, 64, 40_000), (4, 16, 32, 40_000)])
+def test_fast_pallas_interpret(sigma, m, p_size, n):
+    """Pallas kernels in interpreter mode (CPU) — tiny sizes."""
+    text, pats = make_case(sigma, m, p_size, n, seed=99)
+    expected = datagen.count_matches(text, pats)
+    eng = make_fast(pats, cap=1 << 12, backend="pallas", interpret=True)
+    assert eng.count(text) == expected
+
+
+def test_overflow_flag():
+    """A degenerate corpus (all matches) must flag overflow, not undercount."""
+    ab = Alphabet.dna()
+    pats = PatternSet(np.zeros((1, 16), np.uint8), ab)   # 'A'*16
+    text = np.zeros(40_000, np.uint8)                    # everything matches
+    eng = make_fast(pats, tile=1 << 14, cap=1 << 8, backend="xla")
+    c, o = eng.count_with_overflow(text)
+    assert o, "overflow must be reported"
+    with pytest.raises(OverflowError):
+        eng.count(text)
+
+
+def test_exact_tier_degenerate_ok():
+    """Exact tier has no cap: degenerate corpora still count exactly."""
+    ab = Alphabet.dna()
+    pats = PatternSet(np.zeros((1, 8), np.uint8), ab)
+    text = np.zeros(40_000, np.uint8)
+    expected = datagen.count_matches(text, pats.codes)
+    eng = make_fast(pats, backend="xla")
+    assert eng.ft.exact
+    assert eng.count(text) == expected
+
+
+def test_fast_distributed_core():
+    """Fast core composes with the distribution layer."""
+    import jax
+    from tpu_smatcher.parallel import make_mesh
+    from tpu_smatcher.parallel.dist import DistributedCounter
+    text, pats = make_case(4, 8, 64, 150_000, seed=31)
+    expected = datagen.count_matches(text, pats)
+    eng = make_fast(pats, tile=1 << 14, backend="xla")
+    mesh = make_mesh(8)
+    dc = DistributedCounter(eng.core, mesh, m=pats.m, sigma=pats.sigma)
+    assert dc.count(text) == expected

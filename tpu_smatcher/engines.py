@@ -46,6 +46,15 @@ def make_engine(name: str, patterns: PatternSet, *, lanes: int = 8192,
     raise ValueError(f"unknown engine {name!r}; expected one of {ENGINE_NAMES}")
 
 
+def make_fast(patterns: PatternSet, **opts):
+    """The shared TPU fast backend (ops/fast.py): same counts as every
+    engine, at production speed (fused Pallas filters + sparse verify)."""
+    from tpu_smatcher.ops.fast import FastScanner, build_fast
+    codes, sigma = _codes(patterns)
+    n_stages = opts.pop("n_stages", None)
+    return FastScanner(build_fast(codes, sigma, n_stages=n_stages), **opts)
+
+
 def make_distributed(name: str, patterns: PatternSet, mesh, **opts):
     """Distributed engine over a 1-D device mesh: tables replicated, text
     sharded with ICI halo exchange, count psum-reduced (parallel/dist.py)."""

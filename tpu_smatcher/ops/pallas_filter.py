@@ -1,0 +1,167 @@
+"""Fused Pallas scan kernels — the production fast path on TPU.
+
+Measured basis (scripts/probe_gather3.py + probe_truth2.py): Mosaic's
+``tpu.dynamic_gather`` (via 2-D ``jnp.take_along_axis`` on matching shapes,
+axis=1) sustains 68-112 G lookups/s on 128-lane tables inside Pallas, while
+the same op outside Pallas lowers to XLA's generic gather at ~0.09 G/s.
+These kernels therefore fuse the whole dense scan — window-key computation,
+banked 65536-bit bitmap membership, validity masking, count/candidate
+emission — into one VMEM-tiled pass.
+
+Text layout: the wrapper reshapes the corpus into overlapped rows
+(`overlap_rows`): row r holds bytes [r*128, r*128 + 256), so every window
+starting in row r's 128 positions lies within the row (m <= 129).  Shifted
+*static* column slices then yield all per-position window bytes with zero
+gathers — the TPU translation of the reference's shared-memory tile + (m-1)
+halo (cuda/cuda_wm.cu:93-130).
+
+Two kernels:
+  - exact_count_kernel: sigma^m <= 2^16 — the 16-bit packed window id IS the
+    window automaton state; bitmap bit = terminal flag.  Count emitted
+    directly; zero false positives, no verification.
+  - filter_mask_kernel: k-stage 16-bit polynomial fingerprints, candidate
+    mask emitted for sparse exact verification outside.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_smatcher.ops.fast import FP_MULTS, _bits_per_char
+
+LANES = 128
+ROW_BYTES = 256          # per-row context: 128 positions + up to 128 tail bytes
+DEFAULT_RB = 512         # rows per grid block: (512, 256) uint8 tile = 128 KiB
+FILTER_RB = 256          # filter kernel needs headroom for per-stage temps
+
+
+def overlap_rows(text: jnp.ndarray, n: int, m: int, rb: int = DEFAULT_RB) -> tuple[jnp.ndarray, int]:
+    """(R, 256) uint8 overlapped layout; R padded to a multiple of rb.
+
+    Row r covers positions [r*128, (r+1)*128); its 256 bytes give every
+    window (m <= 129) without crossing rows.  Returns (rows, n_starts)."""
+    if m > LANES + 1:
+        raise ValueError("overlap_rows supports m <= 129")
+    n_starts = max(0, n - m + 1)
+    R = max(1, -(-n_starts // LANES))
+    R = -(-R // rb) * rb
+    flat_len = R * LANES + LANES            # main + one extra row of halo
+    padded = jnp.zeros((flat_len,), jnp.uint8).at[:n].set(text[:n])
+    main = padded[: R * LANES].reshape(R, LANES)
+    ext = padded[LANES: R * LANES + LANES].reshape(R, LANES)
+    return jnp.concatenate([main, ext], axis=1), n_starts
+
+
+def _window_positions(rb: int):
+    """Global position of each (row, lane) element in the current block."""
+    r0 = pl.program_id(0) * rb
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 0) + r0
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
+    return rows * LANES + lanes
+
+
+def _bitmap_lookup(bitmap_ref, keys: jnp.ndarray, rb: int) -> jnp.ndarray:
+    """keys: (rb, 128) int32 in [0, 65536). Returns bit values (rb, 128)."""
+    lane = (keys >> 5) & 127
+    bank = keys >> 12
+    acc = jnp.zeros_like(lane)
+    for b in range(16):
+        tab = jnp.broadcast_to(bitmap_ref[b][None, :], (rb, LANES))
+        v = jnp.take_along_axis(tab, lane, axis=1)
+        acc = jnp.where(bank == b, v, acc)
+    return (acc >> (keys & 31)) & 1
+
+
+def _wid_keys_2d(t32: jnp.ndarray, m: int, bits: int) -> jnp.ndarray:
+    w = jnp.zeros_like(t32[:, :LANES])
+    for i in range(m):
+        w = (w << bits) | t32[:, i:i + LANES]
+    return w & 0xFFFF
+
+
+def _fp_keys_2d(t32: jnp.ndarray, m: int, mult: int) -> jnp.ndarray:
+    fp = jnp.zeros_like(t32[:, :LANES])
+    rp = 1
+    for i in range(m):
+        fp = (fp + t32[:, i:i + LANES] * rp) & 0xFFFF
+        rp = (rp * mult) & 0xFFFF
+    return fp
+
+
+def _exact_kernel(tile_ref, bitmap_ref, out_ref, *, m, bits, n_starts, rb):
+    t32 = tile_ref[:].astype(jnp.int32)
+    keys = _wid_keys_2d(t32, m, bits)
+    hit = _bitmap_lookup(bitmap_ref, keys, rb)
+    hit = jnp.where(_window_positions(rb) < n_starts, hit, 0)
+    s = jnp.sum(hit, dtype=jnp.int32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[0, 0] = 0
+
+    out_ref[0, 0] += s
+
+
+def _filter_kernel(tile_ref, *refs, m, n_stages, n_starts, rb):
+    bitmap_refs = refs[:n_stages]
+    mask_ref = refs[n_stages]
+    t32 = tile_ref[:].astype(jnp.int32)
+    cand = None
+    for s in range(n_stages):
+        keys = _fp_keys_2d(t32, m, FP_MULTS[s])
+        hit = _bitmap_lookup(bitmap_refs[s], keys, rb)
+        cand = hit if cand is None else (cand & hit)
+    cand = jnp.where(_window_positions(rb) < n_starts, cand, 0)
+    mask_ref[:] = cand.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "sigma", "n", "rb", "interpret"))
+def exact_count_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
+                       sigma: int, n: int, rb: int = DEFAULT_RB,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Exact window-id count (sigma^m <= 2^16). bitmap: (16, 128) int32."""
+    if n < m:
+        return jnp.int32(0)
+    tile, n_starts = overlap_rows(text, n, m, rb)
+    R = tile.shape[0]
+    kern = functools.partial(_exact_kernel, m=m, bits=_bits_per_char(sigma),
+                             n_starts=n_starts, rb=rb)
+    out = pl.pallas_call(
+        kern,
+        grid=(R // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, ROW_BYTES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        interpret=interpret,
+    )(tile, bitmap)
+    return out[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n", "n_stages", "rb", "interpret"))
+def filter_mask_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
+                       n_stages: int, rb: int = FILTER_RB,
+                       interpret: bool = False) -> jnp.ndarray:
+    """(n_starts,) int8 candidate mask from k fingerprint stages."""
+    tile, n_starts = overlap_rows(text, n, m, rb)
+    R = tile.shape[0]
+    kern = functools.partial(_filter_kernel, m=m, n_stages=n_stages,
+                             n_starts=n_starts, rb=rb)
+    mask = pl.pallas_call(
+        kern,
+        grid=(R // rb,),
+        in_specs=[pl.BlockSpec((rb, ROW_BYTES), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((16, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)] * n_stages,
+        out_specs=pl.BlockSpec((rb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, LANES), jnp.int8),
+        interpret=interpret,
+    )(tile, *bitmaps)
+    return mask      # (R, 128); invalid positions already zeroed in-kernel
