@@ -1,0 +1,66 @@
+"""Native (C++) builders vs pure-python builders: bit-identical tables."""
+
+import numpy as np
+import pytest
+
+from tpu_smatcher.core.alphabet import Alphabet
+from tpu_smatcher.core import datagen
+from tpu_smatcher import native
+from tpu_smatcher.automata import build_ac, build_sh, build_sbom
+
+pytestmark = pytest.mark.skipif(native.load() is None,
+                                reason="native library unavailable")
+
+
+def case(sigma, m, p, seed=0):
+    ab = Alphabet.of_size(sigma)
+    text = datagen.generate_text(50_000, ab, seed=seed)
+    return datagen.generate_patterns(text, p, m, ab, seed=seed + 1).codes
+
+
+@pytest.mark.parametrize("sigma,m,p", [(4, 8, 200), (4, 32, 64), (20, 16, 100), (2, 16, 50)])
+def test_ac_native_matches_python(sigma, m, p):
+    pats = case(sigma, m, p, seed=sigma + m)
+    a = build_ac(pats, sigma, native=True)
+    b = build_ac(pats, sigma, native=False)
+    assert a.n_states == b.n_states
+    assert np.array_equal(a.transition, b.transition)
+    assert np.array_equal(a.supply, b.supply)
+    assert np.array_equal(a.final, b.final)
+    assert np.array_equal(a.delta, b.delta)
+
+
+@pytest.mark.parametrize("sigma,m,p", [(4, 8, 200), (20, 16, 100)])
+def test_sh_native_matches_python(sigma, m, p):
+    pats = case(sigma, m, p, seed=7)
+    a = build_sh(pats, sigma, native=True)
+    b = build_sh(pats, sigma, native=False)
+    assert a.n_states == b.n_states
+    assert np.array_equal(a.transition, b.transition)
+    assert np.array_equal(a.final, b.final)
+    assert np.array_equal(a.bmBc, b.bmBc)
+
+
+@pytest.mark.parametrize("sigma,m,p", [(4, 8, 200), (20, 16, 100), (4, 32, 64)])
+def test_sbom_native_matches_python(sigma, m, p):
+    pats = case(sigma, m, p, seed=9)
+    a = build_sbom(pats, sigma, native=True)
+    b = build_sbom(pats, sigma, native=False)
+    assert a.n_states == b.n_states
+    assert np.array_equal(a.transition, b.transition)
+    assert np.array_equal(a.final_count, b.final_count)
+    assert np.array_equal(a.final_ids, b.final_ids)
+
+
+def test_sbom_duplicate_patterns():
+    pats = np.tile(np.array([[0, 1, 2, 3]], np.uint8), (3, 1))
+    a = build_sbom(pats, 4, native=True)
+    b = build_sbom(pats, 4, native=False)
+    assert np.array_equal(a.final_ids, b.final_ids)
+    assert a.final_ids.shape[1] == 3
+
+
+def test_native_rejects_out_of_range():
+    pats = np.full((2, 8), 5, np.uint8)
+    with pytest.raises(ValueError):
+        build_ac(pats, 4, native=True)

@@ -76,9 +76,17 @@ def _build_trie(patterns: np.ndarray, sigma: int):
     return goto, final, depth
 
 
-def build_ac(patterns: np.ndarray, sigma: int) -> ACTables:
+def build_ac(patterns: np.ndarray, sigma: int, native: bool | str = "auto") -> ACTables:
     patterns = np.asarray(patterns, dtype=np.uint8)
     p, m = patterns.shape
+    if native:
+        from tpu_smatcher import native as nat
+        r = nat.build_ac_native(patterns, sigma)
+        if r is not None:
+            transition, supply, final, delta, depth, n = r
+            return ACTables(transition, supply, final, delta, depth, n, sigma, m)
+        if native is True:
+            raise RuntimeError("native builder requested but unavailable")
     goto, final_l, depth_l = _build_trie(patterns, sigma)
     S = len(goto)
 

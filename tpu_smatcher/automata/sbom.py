@@ -26,9 +26,28 @@ class SBOMTables:
     m: int
 
 
-def build_sbom(patterns: np.ndarray, sigma: int) -> SBOMTables:
+def _finalize(transition, F, n, sigma, m) -> SBOMTables:
+    final_count = np.zeros(n, dtype=np.int32)
+    for s, ids in F.items():
+        final_count[s] = len(ids)
+    fmax = max(1, int(final_count.max(initial=0)))
+    final_ids = np.full((n, fmax), -1, dtype=np.int32)
+    for s, ids in F.items():
+        final_ids[s, :len(ids)] = ids
+    return SBOMTables(transition, final_count, final_ids, n, sigma, m)
+
+
+def build_sbom(patterns: np.ndarray, sigma: int, native: bool | str = "auto") -> SBOMTables:
     patterns = np.asarray(patterns, dtype=np.uint8)
     p, m = patterns.shape
+    if native:
+        from tpu_smatcher import native as nat
+        r = nat.build_sbom_native(patterns, sigma)
+        if r is not None:
+            transition, F, n = r
+            return _finalize(transition, F, n, sigma, m)
+        if native is True:
+            raise RuntimeError("native builder requested but unavailable")
     goto = [dict()]
     supply = [None]
     F = [[]]

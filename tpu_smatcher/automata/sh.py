@@ -28,9 +28,17 @@ class SHTables:
     m: int
 
 
-def build_sh(patterns: np.ndarray, sigma: int) -> SHTables:
+def build_sh(patterns: np.ndarray, sigma: int, native: bool | str = "auto") -> SHTables:
     patterns = np.asarray(patterns, dtype=np.uint8)
     p, m = patterns.shape
+    if native:
+        from tpu_smatcher import native as nat
+        r = nat.build_sh_native(patterns, sigma)
+        if r is not None:
+            transition, final, bmBc, n = r
+            return SHTables(transition, final, bmBc, n, sigma, m)
+        if native is True:
+            raise RuntimeError("native builder requested but unavailable")
     goto = [dict()]
     final = [False]
     for pat in patterns:

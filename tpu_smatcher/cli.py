@@ -1,0 +1,194 @@
+"""smatcher-style command line driver.
+
+TPU-native replacement for the reference's `./smatcher <alg> -m -p_size -n
+-alphabet [-c]` (main.c:20-30, 324-718): explicit corpus/pattern paths or
+synthetic generation (no hard-coded n -> file table), engine selection that
+actually takes effect (the reference ignores argv[1] in its live path,
+main.c:534), per-phase wall timings mirroring the reference's
+read/scatter/CPU/gather report (main.c:663-671), and a structured JSON
+result line.
+
+Examples:
+  python -m tpu_smatcher.cli --synthetic --n 1000000 --m 8 --p-size 1000 \
+      --alphabet 4 --algo fast
+  python -m tpu_smatcher.cli --text corpus.bin --patterns pats.npz --algo wm
+  python -m tpu_smatcher.cli --synthetic --n 100000 --m 8 --p-size 100 \
+      --alphabet 4 --algo ac --devices 4 --verify
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu-smatcher",
+        description="TPU-native multi-pattern string matching "
+                    "(AC / SH / SBOM / WM / SOG / shared fast path)")
+    p.add_argument("--algo", default="fast",
+                   choices=["ac", "sh", "sbom", "wm", "sog8", "sog16",
+                            "sog32", "fast", "all"],
+                   help="engine; 'fast' = shared TPU fast path, "
+                        "'all' = run every engine and cross-check counts")
+    p.add_argument("--m", type=int, required=True, help="pattern length")
+    p.add_argument("--p-size", type=int, default=0, help="number of patterns")
+    p.add_argument("--alphabet", type=int, default=4,
+                   help="alphabet size (2/4/8/20/128/256)")
+    src = p.add_argument_group("corpus")
+    src.add_argument("--text", help="pre-encoded corpus file (bytes < sigma)")
+    src.add_argument("--fasta", help="FASTA corpus file (encoded via alphabet)")
+    src.add_argument("--synthetic", action="store_true",
+                     help="generate a uniform random corpus")
+    src.add_argument("--n", type=int, default=0,
+                     help="corpus length (required with --synthetic)")
+    src.add_argument("--seed", type=int, default=0)
+    pat = p.add_argument_group("patterns")
+    pat.add_argument("--patterns", help="pattern file: .npz (PatternSet.save) "
+                                        "or raw fixed-width records")
+    pat.add_argument("--frac-present", type=float, default=0.5,
+                     help="synthetic patterns: fraction sampled from the text")
+    run = p.add_argument_group("execution")
+    run.add_argument("--backend", default="auto",
+                     choices=["auto", "pallas", "xla"],
+                     help="fast-path backend")
+    run.add_argument("--devices", type=int, default=1,
+                     help="run distributed over a 1-D mesh of this many devices")
+    run.add_argument("--lanes", type=int, default=8192, help="AC scan lanes")
+    run.add_argument("--tile", type=int, default=1 << 20,
+                     help="filter-engine tile (window starts per tile)")
+    run.add_argument("--reps", type=int, default=1, help="timed repetitions")
+    run.add_argument("--verify", action="store_true",
+                     help="cross-check against the host ground truth "
+                          "(loads the corpus windows on host; small corpora)")
+    run.add_argument("--json", action="store_true",
+                     help="print only the JSON result line")
+    return p
+
+
+def load_inputs(args):
+    from tpu_smatcher.core.alphabet import Alphabet
+    from tpu_smatcher.core.patterns import PatternSet
+    from tpu_smatcher.core import corpus, datagen
+
+    ab = Alphabet.of_size(args.alphabet)
+    t0 = time.time()
+    if args.synthetic:
+        if not args.n:
+            sys.exit("--synthetic requires --n")
+        text = datagen.generate_text(args.n, ab, seed=args.seed)
+    elif args.text:
+        text = corpus.load_raw(args.text, Alphabet(args.alphabet)).codes
+    elif args.fasta:
+        text = corpus.load_fasta(args.fasta, ab).codes
+    else:
+        sys.exit("one of --synthetic/--text/--fasta is required")
+
+    if args.patterns:
+        if args.patterns.endswith(".npz"):
+            pats = PatternSet.load(args.patterns)
+        else:
+            raw = np.fromfile(args.patterns, dtype=np.uint8)
+            if raw.size % args.m:
+                sys.exit(f"pattern file size {raw.size} not a multiple of m={args.m}")
+            pats = PatternSet(raw.reshape(-1, args.m), ab)
+    else:
+        if not args.p_size:
+            sys.exit("--p-size (or --patterns) is required")
+        pats = datagen.generate_patterns(text, args.p_size, args.m, ab,
+                                         frac_present=args.frac_present,
+                                         seed=args.seed + 1)
+    return text, pats, time.time() - t0
+
+
+def run_engine(name, text, pats, args):
+    import jax
+    import jax.numpy as jnp
+    from tpu_smatcher.engines import make_engine, make_fast, make_distributed
+    from tpu_smatcher.parallel import make_mesh
+    from tpu_smatcher.parallel.dist import DistributedCounter
+
+    t0 = time.time()
+    if args.devices > 1:
+        mesh = make_mesh(args.devices)
+        if name == "fast":
+            eng = make_fast(pats, backend=args.backend)
+            scanner = DistributedCounter(eng.core, mesh, m=pats.m, sigma=pats.sigma)
+        else:
+            scanner = make_distributed(name, pats, mesh, lanes=args.lanes,
+                                       tile=args.tile)
+    elif name == "fast":
+        scanner = make_fast(pats, backend=args.backend)
+    else:
+        scanner = make_engine(name, pats, lanes=args.lanes, tile=args.tile)
+    t_build = time.time() - t0
+
+    tdev = jax.device_put(jnp.asarray(text)) if args.devices == 1 else text
+    t0 = time.time()
+    count = scanner.count(tdev)
+    t_first = time.time() - t0           # includes compile
+    t_scan = t_first
+    if args.reps > 1:
+        times = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            count = scanner.count(tdev)
+            times.append(time.time() - t0)
+        t_scan = min(times)
+    return {
+        "engine": name,
+        "matches": int(count),
+        "time_preproc_s": round(t_build, 4),
+        "time_first_scan_s": round(t_first, 4),
+        "time_scan_s": round(t_scan, 4),
+        "bytes_per_s": round(len(text) / t_scan, 1),
+    }
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    text, pats, t_read = load_inputs(args)
+
+    names = (["ac", "sh", "sbom", "wm", "fast"]
+             + ([f"sog{args.m}"] if args.m in (8, 16, 32) else [])
+             if args.algo == "all" else [args.algo])
+
+    results = []
+    for name in names:
+        r = run_engine(name, text, pats, args)
+        r["time_read_s"] = round(t_read, 4)
+        results.append(r)
+        if not args.json:
+            print(f"[{r['engine']:5s}] matches={r['matches']}  "
+                  f"preproc {r['time_preproc_s']*1e3:.1f}ms  "
+                  f"scan {r['time_scan_s']*1e3:.1f}ms  "
+                  f"({r['bytes_per_s']/1e9:.3f} GB/s)", flush=True)
+
+    if args.algo == "all":
+        counts = {r["matches"] for r in results}
+        agree = len(counts) == 1
+        if not args.json:
+            print("cross-check:", "ALL ENGINES AGREE" if agree
+                  else f"MISMATCH {sorted(counts)}")
+        if not agree:
+            sys.exit(2)
+
+    if args.verify:
+        from tpu_smatcher.core import datagen
+        truth = datagen.count_matches(text, pats)
+        ok = all(r["matches"] == truth for r in results)
+        if not args.json:
+            print(f"ground truth: {truth} -> {'OK' if ok else 'FAILED'}")
+        if not ok:
+            sys.exit(3)
+
+    print(json.dumps(results if len(results) > 1 else results[0]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""ctypes bindings for the native table builders (builders.cpp).
+
+The shared library is built lazily with `make` on first use and cached next
+to this file.  Every entry point has a pure-python fallback in
+tpu_smatcher/automata/, selected automatically when the toolchain or library
+is unavailable — `load()` returns None in that case.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libtpusmatcher.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_i8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+
+def _configure(lib):
+    lib.tpu_build_ac.restype = ctypes.c_int64
+    lib.tpu_build_ac.argtypes = [_i8p] + [ctypes.c_int64] * 3 + [_i32p, _i32p, _i8p, _i32p, _i32p]
+    lib.tpu_build_sh.restype = ctypes.c_int64
+    lib.tpu_build_sh.argtypes = [_i8p] + [ctypes.c_int64] * 3 + [_i32p, _i8p, _i32p]
+    lib.tpu_build_sbom.restype = ctypes.c_int64
+    lib.tpu_build_sbom.argtypes = [_i8p] + [ctypes.c_int64] * 3 + [_i32p, _i32p, _i32p, _i32p]
+    return lib
+
+
+def load():
+    """Returns the configured ctypes library, building it if needed; None if
+    unavailable (no compiler, build failure, or TPU_SMATCHER_NO_NATIVE=1)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("TPU_SMATCHER_NO_NATIVE"):
+            return None
+        try:
+            if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH)
+                < os.path.getmtime(os.path.join(_DIR, "builders.cpp"))
+            ):
+                subprocess.run(["make", "-s", "-C", _DIR], check=True,
+                               capture_output=True, timeout=120)
+            _lib = _configure(ctypes.CDLL(_LIB_PATH))
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def build_ac_native(patterns: np.ndarray, sigma: int):
+    """Returns (transition, supply, final, delta, depth, n_states) trimmed to
+    the used state count, or None if the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
+    p, m = patterns.shape
+    s_max = m * p + 1
+    transition = np.empty((s_max, sigma), np.int32)
+    supply = np.empty(s_max, np.int32)
+    final = np.empty(s_max, np.uint8)
+    delta = np.empty((s_max, sigma + 1), np.int32)
+    depth = np.empty(s_max, np.int32)
+    n = lib.tpu_build_ac(patterns, p, m, sigma, transition, supply, final,
+                         delta, depth)
+    if n < 0:
+        raise ValueError("pattern byte out of range for alphabet")
+    n = int(n)
+    return (transition[:n].copy(), supply[:n].copy(), final[:n].copy(),
+            delta[:n].copy(), depth[:n].copy(), n)
+
+
+def build_sh_native(patterns: np.ndarray, sigma: int):
+    lib = load()
+    if lib is None:
+        return None
+    patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
+    p, m = patterns.shape
+    s_max = m * p + 1
+    transition = np.empty((s_max, sigma), np.int32)
+    final = np.empty(s_max, np.uint8)
+    bmBc = np.empty(sigma, np.int32)
+    n = lib.tpu_build_sh(patterns, p, m, sigma, transition, final, bmBc)
+    if n < 0:
+        raise ValueError("pattern byte out of range for alphabet")
+    n = int(n)
+    return transition[:n].copy(), final[:n].copy(), bmBc, n
+
+
+def build_sbom_native(patterns: np.ndarray, sigma: int):
+    """Returns (transition, F lists per state, n_states) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
+    p, m = patterns.shape
+    s_max = m * p + 1
+    transition = np.empty((s_max, sigma), np.int32)
+    f_head = np.empty(s_max, np.int32)
+    f_pid = np.empty(max(p, 1), np.int32)
+    f_next = np.empty(max(p, 1), np.int32)
+    n = lib.tpu_build_sbom(patterns, p, m, sigma, transition, f_head, f_pid, f_next)
+    if n < 0:
+        raise ValueError("pattern byte out of range for alphabet")
+    n = int(n)
+    # rebuild per-state id lists (stored as prepend-linked entries)
+    F = {}
+    heads = f_head[:n]
+    for s in np.nonzero(heads >= 0)[0]:
+        ids = []
+        e = int(heads[s])
+        while e >= 0:
+            ids.append(int(f_pid[e]))
+            e = int(f_next[e])
+        F[int(s)] = ids[::-1]           # restore insertion order
+    return transition[:n].copy(), F, n

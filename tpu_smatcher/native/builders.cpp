@@ -1,0 +1,187 @@
+// Native table builders for tpu-smatcher.
+//
+// TPU-native counterpart of the reference's C preprocessing layer (the trie /
+// factor-oracle construction in ac/ac.c, sh/sh.c, sbom/sbom.c): the scan
+// kernels run on TPU, but automaton construction is pointer-chasing work that
+// belongs on the host in native code.  Builders write directly into
+// numpy-allocated flat arrays handed across a plain C ABI (ctypes).
+//
+// Conventions (shared with the python builders in tpu_smatcher/automata/):
+//   - transition: (S_max, sigma) int32, -1 = missing (AC root row defaults 0)
+//   - supply:     (S_max,) int32 failure/supply links
+//   - final:      (S_max,) uint8
+//   - delta:      (S_max, sigma+1) int32 completed DFA, pad column -> 0
+//   - S_max = m * p + 1 (the reference's bound, main.c:409-411)
+//
+// All functions return the number of states actually used, or -1 on error.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+inline int32_t &trans_at(int32_t *t, int64_t sigma, int32_t s, int32_t c) {
+  return t[(int64_t)s * sigma + c];
+}
+
+}  // namespace
+
+extern "C" {
+
+// Aho-Corasick: forward trie + BFS failure links + completed DFA.
+int64_t tpu_build_ac(const uint8_t *pats, int64_t p, int64_t m, int64_t sigma,
+                     int32_t *transition, int32_t *supply, uint8_t *final_,
+                     int32_t *delta, int32_t *depth) {
+  const int64_t s_max = m * p + 1;
+  std::fill(transition, transition + s_max * sigma, -1);
+  std::fill(supply, supply + s_max, 0);
+  std::fill(final_, final_ + s_max, 0);
+  std::fill(depth, depth + s_max, 0);
+  for (int64_t c = 0; c < sigma; ++c) trans_at(transition, sigma, 0, c) = 0;
+
+  // trie insertion: the flat transition array IS the trie (root row uses 0
+  // as "missing", deeper rows use -1)
+  int32_t n_states = 1;
+  for (int64_t j = 0; j < p; ++j) {
+    const uint8_t *pat = pats + j * m;
+    int32_t s = 0;
+    for (int64_t i = 0; i < m; ++i) {
+      const uint8_t c = pat[i];
+      if (c >= sigma) return -1;
+      int32_t nxt = trans_at(transition, sigma, s, c);
+      const bool missing = (s == 0) ? (nxt == 0) : (nxt < 0);
+      if (missing) {
+        nxt = n_states++;
+        trans_at(transition, sigma, s, c) = nxt;
+        depth[nxt] = depth[s] + 1;
+      }
+      s = nxt;
+    }
+    final_[s] = 1;
+  }
+
+  // BFS over depth levels; compute supply + completed delta rows.
+  const int64_t sig_p = sigma + 1;
+  // delta row 0: root transitions, missing -> 0 already encoded
+  for (int64_t c = 0; c < sigma; ++c)
+    delta[c] = trans_at(transition, sigma, 0, c);
+  delta[sigma] = 0;
+
+  std::vector<int32_t> queue;
+  queue.reserve(n_states);
+  for (int64_t c = 0; c < sigma; ++c) {
+    int32_t t = trans_at(transition, sigma, 0, c);
+    if (t > 0) {
+      supply[t] = 0;
+      queue.push_back(t);
+    }
+  }
+  for (size_t qi = 0; qi < queue.size(); ++qi) {
+    const int32_t s = queue[qi];
+    const int32_t f = supply[s];
+    int32_t *drow = delta + (int64_t)s * sig_p;
+    const int32_t *frow = delta + (int64_t)f * sig_p;
+    for (int64_t c = 0; c < sigma; ++c) {
+      const int32_t t = trans_at(transition, sigma, s, c);
+      if (t >= 0 && !(s == 0 && t == 0)) {
+        drow[c] = t;
+        supply[t] = frow[c];
+        queue.push_back(t);
+      } else {
+        drow[c] = frow[c];
+      }
+    }
+    drow[sigma] = 0;
+  }
+  return n_states;
+}
+
+// Set Horspool: trie over reversed patterns (-1 missing everywhere) + bmBc.
+int64_t tpu_build_sh(const uint8_t *pats, int64_t p, int64_t m, int64_t sigma,
+                     int32_t *transition, uint8_t *final_, int32_t *bmBc) {
+  const int64_t s_max = m * p + 1;
+  std::fill(transition, transition + s_max * sigma, -1);
+  std::fill(final_, final_ + s_max, 0);
+  int32_t n_states = 1;
+  for (int64_t j = 0; j < p; ++j) {
+    const uint8_t *pat = pats + j * m;
+    int32_t s = 0;
+    for (int64_t i = m - 1; i >= 0; --i) {
+      const uint8_t c = pat[i];
+      if (c >= sigma) return -1;
+      int32_t nxt = trans_at(transition, sigma, s, c);
+      if (nxt < 0) {
+        nxt = n_states++;
+        trans_at(transition, sigma, s, c) = nxt;
+      }
+      s = nxt;
+    }
+    final_[s] = 1;
+  }
+  for (int64_t c = 0; c < sigma; ++c) bmBc[c] = (int32_t)m;
+  for (int64_t j = 0; j < p; ++j) {
+    const uint8_t *pat = pats + j * m;
+    for (int64_t i = 0; i < m - 1; ++i) {
+      const int32_t shift = (int32_t)(m - 1 - i);
+      if (shift < bmBc[pat[i]]) bmBc[pat[i]] = shift;
+    }
+  }
+  return n_states;
+}
+
+// SBOM factor oracle of reversed patterns (external transitions patched along
+// the supply chain during insertion, mirroring sbom/sbom.c:99-116 semantics).
+// Terminal pattern ids returned as a linked list: f_head[s] = first entry or
+// -1; f_entry_pid/f_entry_next indexed by insertion order (p entries max).
+int64_t tpu_build_sbom(const uint8_t *pats, int64_t p, int64_t m, int64_t sigma,
+                       int32_t *transition, int32_t *f_head,
+                       int32_t *f_entry_pid, int32_t *f_entry_next) {
+  const int64_t s_max = m * p + 1;
+  std::fill(transition, transition + s_max * sigma, -1);
+  std::fill(f_head, f_head + s_max, -1);
+  std::vector<int32_t> supply(s_max, -2);  // -2 = unset; -1 = none (root)
+  supply[0] = -1;
+  int32_t n_states = 1;
+  int32_t n_entries = 0;
+  for (int64_t j = 0; j < p; ++j) {
+    const uint8_t *pat = pats + j * m;
+    int32_t s = 0;
+    int64_t i = m - 1;
+    bool done = false;
+    while (!done) {  // follow existing transitions
+      const uint8_t c = pat[i];
+      if (c >= sigma) return -1;
+      const int32_t nxt = trans_at(transition, sigma, s, c);
+      if (nxt < 0) break;
+      s = nxt;
+      if (i <= 0) done = true;
+      --i;
+    }
+    if (!done) {
+      for (; i >= 0; --i) {
+        const uint8_t c = pat[i];
+        const int32_t nw = n_states++;
+        trans_at(transition, sigma, s, c) = nw;
+        int32_t k = supply[s];
+        while (k >= 0 && trans_at(transition, sigma, k, c) < 0) {
+          trans_at(transition, sigma, k, c) = nw;   // external transition
+          k = supply[k];
+        }
+        supply[nw] = (k >= 0) ? trans_at(transition, sigma, k, c) : 0;
+        s = nw;
+      }
+    }
+    // append pattern id j to F(s), preserving insertion order via tail-less
+    // prepend + python-side reversal? No: keep order by storing next=-1 and
+    // linking from the tail.  We store entries in insertion order; python
+    // reconstructs per-state lists by walking entries in order.
+    f_entry_pid[n_entries] = (int32_t)j;
+    f_entry_next[n_entries] = f_head[s];   // reversed order; python restores
+    f_head[s] = n_entries;
+    ++n_entries;
+  }
+  return n_states;
+}
+
+}  // extern "C"
