@@ -17,6 +17,8 @@ import dataclasses
 
 import numpy as np
 
+from tpu_smatcher.automata.bm import pre_bm_bc
+
 
 @dataclasses.dataclass
 class SHTables:
@@ -59,10 +61,5 @@ def build_sh(patterns: np.ndarray, sigma: int, native: bool | str = "auto") -> S
         for c, t in edges.items():
             transition[s, c] = t
 
-    bmBc = np.full(sigma, m, dtype=np.int32)
-    # bmBc[c] = min(m - 1 - i) over pattern positions i < m-1 with char c
-    if m > 1:
-        shifts = (m - 1 - np.arange(m - 1)).astype(np.int32)
-        for pat in patterns:
-            np.minimum.at(bmBc, pat[:m - 1], shifts)
+    bmBc = pre_bm_bc(patterns, sigma)
     return SHTables(transition, np.asarray(final, np.uint8), bmBc, S, sigma, m)

@@ -68,6 +68,17 @@ def build_parser() -> argparse.ArgumentParser:
                           "(loads the corpus windows on host; small corpora)")
     run.add_argument("--json", action="store_true",
                      help="print only the JSON result line")
+    ckpt = p.add_argument_group("tables checkpoint")
+    ckpt.add_argument("--save-tables", metavar="PATH",
+                      help="serialize the engine's preprocessing tables to "
+                           ".npz after building (core.checkpoint)")
+    ckpt.add_argument("--tables", metavar="PATH",
+                      help="load prebuilt tables instead of preprocessing "
+                           "(single-engine runs)")
+    prof = p.add_argument_group("profiling")
+    prof.add_argument("--profile", metavar="LOGDIR",
+                      help="record a jax.profiler trace of the timed scans "
+                           "(view in TensorBoard/Perfetto)")
     return p
 
 
@@ -109,7 +120,8 @@ def load_inputs(args):
 def run_engine(name, text, pats, args):
     import jax
     import jax.numpy as jnp
-    from tpu_smatcher.engines import make_engine, make_fast, make_distributed
+    from tpu_smatcher.engines import (
+        make_engine, make_engine_from_tables, make_fast, make_distributed)
     from tpu_smatcher.parallel import make_mesh
     from tpu_smatcher.parallel.dist import DistributedCounter
 
@@ -122,11 +134,23 @@ def run_engine(name, text, pats, args):
         else:
             scanner = make_distributed(name, pats, mesh, lanes=args.lanes,
                                        tile=args.tile)
+    elif args.tables:
+        from tpu_smatcher.core.checkpoint import load_tables
+        opts = {"backend": args.backend} if name == "fast" else {}
+        scanner = make_engine_from_tables(
+            name, load_tables(args.tables),
+            lanes=args.lanes,
+            tile=args.tile if name != "fast" else 1 << 24, **opts)
     elif name == "fast":
         scanner = make_fast(pats, backend=args.backend)
     else:
         scanner = make_engine(name, pats, lanes=args.lanes, tile=args.tile)
     t_build = time.time() - t0
+
+    if args.save_tables and args.devices == 1 and not args.tables:
+        from tpu_smatcher.core.checkpoint import save_tables
+        from tpu_smatcher.engines import build_tables
+        save_tables(args.save_tables, build_tables(name, pats))
 
     tdev = jax.device_put(jnp.asarray(text)) if args.devices == 1 else text
     t0 = time.time()
@@ -134,11 +158,15 @@ def run_engine(name, text, pats, args):
     t_first = time.time() - t0           # includes compile
     t_scan = t_first
     if args.reps > 1:
-        times = []
-        for _ in range(args.reps):
-            t0 = time.time()
-            count = scanner.count(tdev)
-            times.append(time.time() - t0)
+        import contextlib
+        from tpu_smatcher.utils import trace
+        ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
+        with ctx:
+            times = []
+            for _ in range(args.reps):
+                t0 = time.time()
+                count = scanner.count(tdev)
+                times.append(time.time() - t0)
         t_scan = min(times)
     return {
         "engine": name,

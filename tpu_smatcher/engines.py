@@ -25,25 +25,59 @@ def _codes(patterns) -> tuple[np.ndarray, int]:
     raise TypeError("make_engine expects a PatternSet")
 
 
+def build_tables(name: str, patterns: PatternSet) -> dict:
+    """Preprocessing only: the named engine's table dataclasses, as a dict
+    suitable for core.checkpoint.save_tables (keys: 'main' and, for the
+    verifying engines, 'verify').  name may also be 'fast'."""
+    codes, sigma = _codes(patterns)
+    if name == "ac":
+        return {"main": build_ac(codes, sigma)}
+    if name == "sh":
+        return {"main": build_sh(codes, sigma)}
+    if name == "sbom":
+        return {"main": build_sbom(codes, sigma),
+                "verify": build_verify(codes, sigma)}
+    if name == "wm":
+        return {"main": build_wm(codes, sigma),
+                "verify": build_verify(codes, sigma)}
+    if name in ("sog8", "sog16", "sog32"):
+        return {"main": build_sog(codes, sigma, int(name[3:])),
+                "verify": build_verify(codes, sigma)}
+    if name == "fast":
+        from tpu_smatcher.ops.fast import build_fast
+        return {"main": build_fast(codes, sigma)}
+    raise ValueError(f"unknown engine {name!r}; expected one of {ENGINE_NAMES}")
+
+
+def make_engine_from_tables(name: str, tables: dict, *, lanes: int = 8192,
+                            q: int = 1, tile: int = DEFAULT_TILE, **opts):
+    """Construct the named engine from prebuilt tables (see build_tables /
+    core.checkpoint.load_tables) — production scans skip preprocessing."""
+    main = tables["main"]
+    if name == "ac":
+        return ACScanner(main, lanes=lanes, q=q)
+    if name == "sh":
+        return SHScanner(main, tile=tile)
+    if name == "sbom":
+        return SBOMScanner(main, tables["verify"], tile=tile)
+    if name == "wm":
+        return WMScanner(main, tables["verify"], tile=tile)
+    if name in ("sog8", "sog16", "sog32"):
+        return SOGScanner(main, tables["verify"], tile=tile)
+    if name == "fast":
+        from tpu_smatcher.ops.fast import FastScanner
+        return FastScanner(main, tile=tile, **opts)
+    raise ValueError(f"unknown engine {name!r}; expected one of {ENGINE_NAMES}")
+
+
 def make_engine(name: str, patterns: PatternSet, *, lanes: int = 8192,
                 q: int = 1, tile: int = DEFAULT_TILE):
     """Build the named engine over the pattern set.
 
     name: one of ac, sh, sbom, wm, sog8, sog16, sog32.
     lanes/q apply to ac; tile to the filter engines."""
-    codes, sigma = _codes(patterns)
-    if name == "ac":
-        return ACScanner(build_ac(codes, sigma), lanes=lanes, q=q)
-    if name == "sh":
-        return SHScanner(build_sh(codes, sigma), tile=tile)
-    if name == "sbom":
-        return SBOMScanner(build_sbom(codes, sigma), build_verify(codes, sigma), tile=tile)
-    if name == "wm":
-        return WMScanner(build_wm(codes, sigma), build_verify(codes, sigma), tile=tile)
-    if name in ("sog8", "sog16", "sog32"):
-        width = int(name[3:])
-        return SOGScanner(build_sog(codes, sigma, width), build_verify(codes, sigma), tile=tile)
-    raise ValueError(f"unknown engine {name!r}; expected one of {ENGINE_NAMES}")
+    return make_engine_from_tables(name, build_tables(name, patterns),
+                                   lanes=lanes, q=q, tile=tile)
 
 
 def make_fast(patterns: PatternSet, **opts):
