@@ -1,0 +1,113 @@
+"""Benchmark sweep — the execute.sh analogue (reference execute.sh:9-56).
+
+Loops engines x p_size {1000, 8000} x the reference's six corpus shapes
+(random sigma=2, E.coli sigma=4, A_thaliana.fna sigma=4, swiss-prot sigma=20,
+A_thaliana.faa sigma=20, world192 sigma=128 — sizes from main.c:38-118),
+generated synthetically at the same (n, sigma) since the bio files are not
+shipped with the reference either (its ../data-cuda-multi is out of tree).
+
+Each run verifies cross-engine count agreement (the reference's correctness
+methodology, SURVEY.md §4.1) and appends one JSON line per (engine, corpus,
+p_size) to the output file.
+
+  python scripts/sweep.py                 # quick: scaled-down corpora
+  python scripts/sweep.py --full          # reference-size corpora
+  python scripts/sweep.py --engines fast ac --out sweep.jsonl
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: (name, n, sigma) — main.c:38-118 / execute.sh:16-51
+CORPORA = [
+    ("random2", 3_999_744, 2),
+    ("ecoli", 4_628_736, 4),
+    ("athaliana_fna", 116_234_496, 4),
+    ("swissprot", 177_649_920, 20),
+    ("athaliana_faa", 10_821_888, 20),
+    ("world192", 1_903_104, 128),
+]
+
+P_SIZES = [1000, 8000]           # execute.sh:9
+DEFAULT_ENGINES = ["fast", "ac", "wm", "sh", "sbom", "sog8"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--engines", nargs="+", default=DEFAULT_ENGINES)
+    ap.add_argument("--p-sizes", nargs="+", type=int, default=P_SIZES)
+    ap.add_argument("--m", type=int, default=8)       # execute.sh:16
+    ap.add_argument("--full", action="store_true",
+                    help="reference corpus sizes (default: scaled to 1/16)")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="sweep.jsonl")
+    args = ap.parse_args()
+
+    import jax
+    from tpu_smatcher.core.alphabet import Alphabet
+    from tpu_smatcher.core import datagen
+    from tpu_smatcher.engines import make_engine, make_fast
+    from tpu_smatcher.utils import PhaseTimer, time_jit, emit_jsonl
+
+    scale = 1 if args.full else 16
+    backend = jax.default_backend()
+    print(f"sweep: backend={backend} scale=1/{scale} -> {args.out}",
+          file=sys.stderr)
+
+    for name, n_full, sigma in CORPORA:
+        n = n_full // scale
+        ab = Alphabet.of_size(sigma)
+        text = datagen.generate_text(n, ab, seed=1)
+        for p_size in args.p_sizes:
+            pt = PhaseTimer()
+            with pt.phase("gen"):
+                pats = datagen.generate_patterns(
+                    text, p_size, args.m, ab, frac_present=0.5, seed=2)
+            import jax.numpy as jnp
+            tdev = jax.device_put(jnp.asarray(text))
+            counts = {}
+            for eng_name in args.engines:
+                try:
+                    with pt.phase(f"build_{eng_name}"):
+                        eng = (make_fast(pats) if eng_name == "fast"
+                               else make_engine(eng_name, pats))
+                    t0 = time.perf_counter()
+                    c = eng.count(tdev)
+                    t_first = time.perf_counter() - t0
+                    times = []
+                    for _ in range(args.reps):
+                        t0 = time.perf_counter()
+                        c = eng.count(tdev)
+                        times.append(time.perf_counter() - t0)
+                    best = min(times)
+                    counts[eng_name] = int(c)
+                    rec = {"corpus": name, "n": n, "sigma": sigma,
+                           "m": args.m, "p_size": p_size, "engine": eng_name,
+                           "matches": int(c), "scan_s": round(best, 5),
+                           "first_scan_s": round(t_first, 4),
+                           "bytes_per_s": round(n / best, 1),
+                           "backend": backend}
+                    emit_jsonl(args.out, rec)
+                    print(f"  {name} p={p_size} {eng_name:5s} "
+                          f"{c} matches  {n/best/1e9:.3f} GB/s",
+                          file=sys.stderr)
+                except Exception as e:     # keep sweeping; record the failure
+                    emit_jsonl(args.out, {"corpus": name, "n": n,
+                                          "sigma": sigma, "p_size": p_size,
+                                          "engine": eng_name,
+                                          "error": repr(e)})
+                    print(f"  {name} p={p_size} {eng_name}: ERROR {e}",
+                          file=sys.stderr)
+            if len(set(counts.values())) > 1:
+                print(f"  MISMATCH at {name} p={p_size}: {counts}",
+                      file=sys.stderr)
+                emit_jsonl(args.out, {"corpus": name, "p_size": p_size,
+                                      "mismatch": counts})
+
+
+if __name__ == "__main__":
+    main()
