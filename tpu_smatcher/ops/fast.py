@@ -131,22 +131,43 @@ def _slice(x, off, size):
 
 
 def _wid_keys(chunk: jnp.ndarray, n_starts: int, m: int, sigma: int) -> jnp.ndarray:
+    """Packed window ids by binary segment doubling (O(log m) vector ops):
+    V_{a+b}[j] = (V_a[j] << b*bits) | V_b[j+a]."""
     bits = _bits_per_char(sigma)
     t = chunk.astype(jnp.int32)
-    w = jnp.zeros((n_starts,), jnp.int32)
-    for i in range(m):
-        w = (w << bits) | _slice(t, i, n_starts)
-    return w & 0xFFFF
+    W0 = t.shape[0]
+    cache = {1: t}
+
+    def seg(L):                      # width of seg(L) is W0 - (L - 1)
+        if L not in cache:
+            a = L // 2
+            b = L - a
+            va, vb = seg(a), seg(b)
+            w = W0 - (L - 1)
+            cache[L] = (va[:w] << (b * bits)) | jax.lax.dynamic_slice(vb, (a,), (w,))
+        return cache[L]
+
+    return seg(m)[:n_starts]
 
 
 def _fp_keys(chunk: jnp.ndarray, n_starts: int, m: int, mult: int) -> jnp.ndarray:
+    """Polynomial fingerprints mod 2^16 by segment doubling:
+    F_{a+b}[j] = F_a[j] + mult^a * F_b[j+a]."""
     t = chunk.astype(jnp.int32)
-    fp = jnp.zeros((n_starts,), jnp.int32)
-    rp = 1
-    for i in range(m):
-        fp = (fp + _slice(t, i, n_starts) * rp) & 0xFFFF
-        rp = (rp * mult) & 0xFFFF
-    return fp
+    W0 = t.shape[0]
+    cache = {1: t}
+
+    def seg(L):                      # width of seg(L) is W0 - (L - 1)
+        if L not in cache:
+            a = L // 2
+            b = L - a
+            fa, fb = seg(a), seg(b)
+            w = W0 - (L - 1)
+            ma = pow(mult, a, 1 << 16)
+            cache[L] = (fa[:w] + ma * jax.lax.dynamic_slice(fb, (a,), (w,))) & 0xFFFF
+        return cache[L]
+
+    return seg(m)[:n_starts]
 
 
 # ---------------------------------------------------------------------------

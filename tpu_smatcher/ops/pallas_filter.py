@@ -79,23 +79,49 @@ def _bitmap_lookup(bitmap_ref, keys: jnp.ndarray, rb: int) -> jnp.ndarray:
 
 
 def _wid_keys_2d(t32: jnp.ndarray, m: int, bits: int) -> jnp.ndarray:
-    w = jnp.zeros_like(t32[:, :LANES])
-    for i in range(m):
-        w = (w << bits) | t32[:, i:i + LANES]
-    return w & 0xFFFF
+    """Packed window ids by binary segment doubling: O(log m) vector ops.
+
+    V_L[j] packs the L chars at columns [j, j+L); V_{a+b}[j] =
+    (V_a[j] << b*bits) | V_b[j+a].  All slices static; arrays stay at full
+    width and shrink only logically (valid over [0, W-(L-1)))."""
+    W0 = t32.shape[1]
+    cache = {1: t32}
+
+    def seg(L):                      # width of seg(L) is W0 - (L - 1)
+        if L not in cache:
+            a = L // 2
+            b = L - a
+            va, vb = seg(a), seg(b)
+            w = W0 - (L - 1)
+            cache[L] = (va[:, :w] << (b * bits)) | vb[:, a:a + w]
+        return cache[L]
+
+    return seg(m)[:, :LANES]
 
 
 def _fp_keys_2d(t32: jnp.ndarray, m: int, mult: int) -> jnp.ndarray:
-    fp = jnp.zeros_like(t32[:, :LANES])
-    rp = 1
-    for i in range(m):
-        fp = (fp + t32[:, i:i + LANES] * rp) & 0xFFFF
-        rp = (rp * mult) & 0xFFFF
-    return fp
+    """Polynomial fingerprints mod 2^16 by segment doubling: O(log m) ops.
+
+    F_L[j] = sum_{i<L} c[j+i] * mult^i (mod 2^16);
+    F_{a+b}[j] = F_a[j] + mult^a * F_b[j+a]."""
+    W0 = t32.shape[1]
+    cache = {1: t32}
+
+    def seg(L):                      # width of seg(L) is W0 - (L - 1)
+        if L not in cache:
+            a = L // 2
+            b = L - a
+            fa, fb = seg(a), seg(b)
+            w = W0 - (L - 1)
+            ma = pow(mult, a, 1 << 16)
+            cache[L] = (fa[:, :w] + ma * fb[:, a:a + w]) & 0xFFFF
+        return cache[L]
+
+    return seg(m)[:, :LANES]
 
 
 def _exact_kernel(tile_ref, bitmap_ref, out_ref, *, m, bits, n_starts, rb):
-    t32 = tile_ref[:].astype(jnp.int32)
+    t32 = tile_ref[:, :LANES + m - 1].astype(jnp.int32)
     keys = _wid_keys_2d(t32, m, bits)
     hit = _bitmap_lookup(bitmap_ref, keys, rb)
     hit = jnp.where(_window_positions(rb) < n_starts, hit, 0)
@@ -111,7 +137,7 @@ def _exact_kernel(tile_ref, bitmap_ref, out_ref, *, m, bits, n_starts, rb):
 def _filter_kernel(tile_ref, *refs, m, n_stages, n_starts, rb):
     bitmap_refs = refs[:n_stages]
     mask_ref = refs[n_stages]
-    t32 = tile_ref[:].astype(jnp.int32)
+    t32 = tile_ref[:, :LANES + m - 1].astype(jnp.int32)
     cand = None
     for s in range(n_stages):
         keys = _fp_keys_2d(t32, m, FP_MULTS[s])
