@@ -74,52 +74,84 @@ class FastTables:
     exact: bool
     m: int
     sigma: int
-    n_stages: int
-    bitmaps: tuple          # n_stages device arrays (16, 128) int32
+    n_stages: int           # default stage count for fixed-tile (XLA) scans
+    bitmaps: tuple          # len(FP_MULTS) device arrays (16, 128) int32
     # verification tables (None when exact):
-    bucket_ids: object      # (65536 * L,) int32 device, -1 padded
+    bucket_ids: object      # (2^(16+eb) * L,) int32 device, -1 padded
     lmax: int
     packed: object          # (p, W) int32 device
     words: int
+    eb: int = 0             # bucket-key extension bits taken from fp1
+    density: float = 0.0    # stage-0 bitmap fill fraction (per-stage FPR)
+    bucket_fp2: object = None   # (2^(16+eb) * L,) int32: fp2 per slot, -1 pad
+    slot_ok: bool = False   # fp2 unique within every bucket -> slot-select
+                            # verify (one full compare instead of lmax)
+
+
+def stages_for(ft: FastTables, n: int, cap: int) -> int:
+    """Stage count so expected false positives over n positions fit well
+    inside the candidate cap: smallest k with n * density^k <= cap / 4."""
+    if ft.exact:
+        return 1
+    k = 1
+    while (n * ft.density ** k > cap / 4) and k < len(ft.bitmaps):
+        k += 1
+    return k
 
 
 def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None) -> FastTables:
     patterns = np.asarray(patterns, np.uint8)
-    p, m = patterns.shape
-    if exact_wid_supported(sigma, m):
+    if exact_wid_supported(sigma, patterns.shape[1]):
         bm = pack_bitmap(_wid_keys_np(patterns, sigma), BITMAP_BITS)
-        return FastTables(True, m, sigma, 1, (jnp.asarray(bm),), None, 0, None, 0)
+        return FastTables(True, patterns.shape[1], sigma, 1,
+                          (jnp.asarray(bm),), None, 0, None, 0)
+    # duplicate patterns cannot change the count (>=1 occurrence per window)
+    # and would defeat the per-bucket fp2 uniqueness below — drop them
+    patterns = np.unique(patterns, axis=0)
+    p, m = patterns.shape
+
+    # all filter stages are built (8 KiB each); scans pick how many to apply
+    bitmaps = []
+    fps = []
+    for s in range(len(FP_MULTS)):
+        keys = _fp_keys_np(patterns, FP_MULTS[s])
+        fps.append(keys)
+        bitmaps.append(jnp.asarray(pack_bitmap(keys, BITMAP_BITS)))
+    density = float(np.count_nonzero(
+        np.unpackbits(np.asarray(bitmaps[0]).view(np.uint8)))) / BITMAP_BITS
 
     if n_stages is None:
-        # enough stages that FPR^k * tile stays within the sparse budget
-        fpr = min(0.999, p / BITMAP_BITS + 1e-6)
         k = 1
-        while fpr ** k * DEFAULT_TILE > DEFAULT_CAP / 4 and k < len(FP_MULTS):
+        while density ** k * DEFAULT_TILE > DEFAULT_CAP / 4 and k < len(FP_MULTS):
             k += 1
         n_stages = k
     n_stages = min(n_stages, len(FP_MULTS))
 
-    bitmaps = []
-    fp0 = None
-    for s in range(n_stages):
-        keys = _fp_keys_np(patterns, FP_MULTS[s])
-        if s == 0:
-            fp0 = keys
-        bitmaps.append(jnp.asarray(pack_bitmap(keys, BITMAP_BITS)))
-
-    # verification buckets keyed by stage-0 fingerprint
-    size = np.bincount(fp0, minlength=BITMAP_BITS)
+    # verification buckets keyed by fp0 plus eb low bits of fp1, sized so
+    # buckets outnumber patterns ~8x (keeps lmax, and so verify gathers, low)
+    eb = max(0, (8 * p - 1).bit_length() - 16) if p > 0 else 0
+    eb = min(eb, 8)
+    nbuckets = BITMAP_BITS << eb
+    key = fps[0] | ((fps[1] & ((1 << eb) - 1)) << 16) if eb else fps[0]
+    size = np.bincount(key, minlength=nbuckets)
     lmax = max(1, int(size.max(initial=0)))
-    bucket = np.full((BITMAP_BITS, lmax), -1, np.int32)
-    slot = np.zeros(BITMAP_BITS, np.int64)
+    bucket = np.full((nbuckets, lmax), -1, np.int32)
+    bucket_fp2 = np.full((nbuckets, lmax), -1, np.int32)
+    fp2 = fps[2]
+    slot = np.zeros(nbuckets, np.int64)
     for j in range(p):
-        h = int(fp0[j])
+        h = int(key[j])
         bucket[h, slot[h]] = j
+        bucket_fp2[h, slot[h]] = fp2[j]
         slot[h] += 1
+    # slot-select verify is exact iff fp2 is unique within every bucket
+    # (patterns are deduped above, so only true fp collisions can conflict)
+    slot_ok = len(np.unique(key.astype(np.int64) * 65536 + fp2)) == p
     packed = pack_rows(patterns)
     return FastTables(False, m, sigma, n_stages,
                       tuple(bitmaps), jnp.asarray(bucket.reshape(-1)), lmax,
-                      jnp.asarray(packed), packed.shape[1])
+                      jnp.asarray(packed), packed.shape[1], eb, density,
+                      jnp.asarray(bucket_fp2.reshape(-1)), slot_ok)
 
 
 # ---------------------------------------------------------------------------
@@ -202,10 +234,15 @@ def fast_count_core(text: jnp.ndarray, ft: FastTables, *, tile: int = DEFAULT_TI
                     overflow)
 
         fp0 = _fp_keys(chunk, tile, m, FP_MULTS[0])
+        fp1 = None
         cand = bitmap_test(ft.bitmaps[0], fp0) == 1
         for s in range(1, ft.n_stages):
             fps = _fp_keys(chunk, tile, m, FP_MULTS[s])
+            if s == 1:
+                fp1 = fps
             cand &= bitmap_test(ft.bitmaps[s], fps) == 1
+        if ft.eb and fp1 is None:
+            fp1 = _fp_keys(chunk, tile, m, FP_MULTS[1])
         cand &= valid
         n_cand = jnp.sum(cand, dtype=jnp.int32)
         idxs = jnp.nonzero(cand, size=cap, fill_value=tile + m - 1)[0]
@@ -221,6 +258,8 @@ def fast_count_core(text: jnp.ndarray, ft: FastTables, *, tile: int = DEFAULT_TI
                 acc = acc | (t32[idxs + 4 * w + k] << (8 * k))
             words.append(acc)
         key0 = fp0[idxs]
+        if ft.eb:
+            key0 = key0 | ((fp1[idxs] & ((1 << ft.eb) - 1)) << 16)
         matched = jnp.zeros((cap,), bool)
         for l in range(ft.lmax):
             pid = ft.bucket_ids[key0 * ft.lmax + l]
@@ -277,38 +316,98 @@ def compact_mask(mask2d, *, caprows: int = 1 << 16, cap: int = DEFAULT_CAP):
     return idxs, overflow
 
 
-@functools.partial(jax.jit, static_argnames=("m", "words", "lmax", "n_starts"))
-def verify_at(text, idxs, bucket_ids, packed, *, m, words, lmax, n_starts):
-    """Exact verification at candidate positions (idxs padded with -1):
-    window words compared against the stage-0-fingerprint bucket patterns."""
+def words_len(n: int, words: int) -> int:
+    """Length of the int32 word view covering an n-byte text plus the
+    gather margin (verify_at reads words+1 consecutive words per start)."""
+    return -(-n // 4) + words + 1
+
+
+@functools.partial(jax.jit, static_argnames=("nw",))
+def text_to_words(text, nw: int):
+    """(n,) uint8 -> (nw,) int32 little-endian word view (zero padded).
+
+    Built from four stride-4 slices (a (nw, 4)-u8 bitcast would be laid out
+    with the 4-wide minor dim padded to a full lane tile — a 32x memory
+    blowup on TPU)."""
+    t = jnp.zeros((nw * 4,), jnp.uint8).at[:text.shape[0]].set(text)
+    w = t[0::4].astype(jnp.int32)
+    for k in range(1, 4):
+        w = w | (t[k::4].astype(jnp.int32) << (8 * k))
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("m", "words", "lmax", "eb",
+                                              "n_starts", "slot_ok"))
+def verify_at(text_words, idxs, bucket_ids, packed, bucket_fp2, *, m, words,
+              lmax, eb, n_starts, slot_ok=False):
+    """Exact verification at candidate positions (idxs padded with -1).
+
+    Gathers words+1 aligned int32 words per candidate from the text's word
+    view (vs m byte gathers), shift-combines them into the window's packed
+    words, recomputes fp0/fp1/fp2 from those (no gathers), and compares
+    against the fingerprint-bucketed patterns.  With slot_ok (fp2 unique
+    within every bucket) the bucket slot is selected by fp2 and only ONE
+    full word compare runs: lmax + 1 + words gathers per candidate instead
+    of lmax * (1 + words)."""
     live = (idxs >= 0) & (idxs < n_starts)
     idxs = jnp.clip(idxs, 0, jnp.maximum(n_starts - 1, 0))
-    t32 = text.astype(jnp.int32)
     cap = idxs.shape[0]
-    # packed window words at candidate starts (m byte-gathers total)
-    wlist = []
-    for w in range(words):
-        nb = min(4, m - 4 * w)
-        acc = jnp.zeros((cap,), jnp.int32)
-        for k in range(nb):
-            acc = acc | (t32[idxs + 4 * w + k] << (8 * k))
-        wlist.append(acc)
-    # stage-0 fingerprint (bucket key) recomputed from the gathered words —
-    # no additional gathers
-    fp = jnp.zeros((cap,), jnp.int32)
-    rp = 1
+    q = idxs >> 2
+    r8 = ((idxs & 3) << 3).astype(jnp.uint32)
+    W = [text_words[q + j].astype(jnp.uint32) for j in range(words + 1)]
+    vals = []
+    for j in range(words):
+        lo = W[j] >> r8
+        # (x << 1) << (31 - r8): equals x << (32 - r8), and is 0 at r8 == 0
+        hi = (W[j + 1] << jnp.uint32(1)) << (jnp.uint32(31) - r8)
+        v = (lo | hi).astype(jnp.int32)
+        nb = min(4, m - 4 * j)
+        if nb < 4:
+            v = v & ((1 << (8 * nb)) - 1)
+        vals.append(v)
+    # bucket-key fingerprints recomputed from the combined words — no gathers
+    fp0 = jnp.zeros((cap,), jnp.int32)
+    fp1 = jnp.zeros((cap,), jnp.int32)
+    fp2 = jnp.zeros((cap,), jnp.int32)
+    rp0 = rp1 = rp2 = 1
     for i in range(m):
-        c = (wlist[i // 4] >> (8 * (i % 4))) & 0xFF
-        fp = (fp + c * rp) & 0xFFFF
-        rp = (rp * FP_MULTS[0]) & 0xFFFF
+        c = (vals[i // 4] >> (8 * (i % 4))) & 0xFF
+        fp0 = fp0 + c * rp0
+        rp0 = (rp0 * FP_MULTS[0]) & 0xFFFF
+        if eb:
+            fp1 = fp1 + c * rp1
+            rp1 = (rp1 * FP_MULTS[1]) & 0xFFFF
+        if slot_ok:
+            fp2 = fp2 + c * rp2
+            rp2 = (rp2 * FP_MULTS[2]) & 0xFFFF
+    key = fp0 & 0xFFFF
+    if eb:
+        key = key | ((fp1 & ((1 << eb) - 1)) << 16)
+
+    if slot_ok:
+        fp2 = fp2 & 0xFFFF
+        slot = jnp.zeros((cap,), jnp.int32)
+        found = jnp.zeros((cap,), bool)
+        for l in range(lmax):
+            hit = bucket_fp2[key * lmax + l] == fp2    # unique per bucket
+            slot = jnp.where(hit, l, slot)
+            found |= hit
+        pid = bucket_ids[key * lmax + slot]
+        ok = live & found & (pid >= 0)
+        pid_c = jnp.maximum(pid, 0)
+        eq = jnp.ones((cap,), bool)
+        for w in range(words):
+            eq &= packed[pid_c, w] == vals[w]
+        return jnp.sum(ok & eq, dtype=jnp.int32)
+
     matched = jnp.zeros((cap,), bool)
     for l in range(lmax):
-        pid = bucket_ids[fp * lmax + l]
+        pid = bucket_ids[key * lmax + l]
         ok = live & (pid >= 0) & ~matched
         pid_c = jnp.maximum(pid, 0)
         eq = jnp.ones((cap,), bool)
         for w in range(words):
-            eq &= packed[pid_c, w] == wlist[w]
+            eq &= packed[pid_c, w] == vals[w]
         matched |= ok & eq
     return jnp.sum(matched, dtype=jnp.int32)
 
@@ -345,12 +444,18 @@ class FastScanner:
             c = pf.exact_count_pallas(text, ft.bitmaps[0], m=ft.m,
                                       sigma=ft.sigma, n=n, interpret=self.interpret)
             return int(c), False
-        mask2d = pf.filter_mask_pallas(text, ft.bitmaps, m=ft.m, n=n,
-                                       n_stages=ft.n_stages, interpret=self.interpret)
+        k = stages_for(ft, n, self.cap)
+        mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
+                                       n_stages=k, interpret=self.interpret)
         idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap)
-        c = verify_at(text, idxs, ft.bucket_ids, ft.packed, m=ft.m,
-                      words=ft.words, lmax=ft.lmax, n_starts=n - ft.m + 1)
-        return int(c), bool(o)
+        tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
+                                  interpret=self.interpret)
+        c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                      m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
+                      n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+        co = jnp.stack([jnp.int32(c), jnp.int32(o)])   # one host fetch
+        co = np.asarray(co)
+        return int(co[0]), bool(co[1])
 
     def count_with_overflow(self, text) -> tuple[int, bool]:
         text = jnp.asarray(text, jnp.uint8)
@@ -384,9 +489,12 @@ class FastScanner:
             return pf.exact_count_pallas(ext, ft.bitmaps[0], m=ft.m,
                                          sigma=ft.sigma, n=n,
                                          interpret=self.interpret)
-        mask2d = pf.filter_mask_pallas(ext, ft.bitmaps, m=ft.m, n=n,
-                                       n_stages=ft.n_stages,
-                                       interpret=self.interpret)
+        k = stages_for(ft, n, self.cap)
+        mask2d = pf.filter_mask_pallas(ext, ft.bitmaps[:k], m=ft.m, n=n,
+                                       n_stages=k, interpret=self.interpret)
         idxs, _ = compact_mask(mask2d, caprows=self.caprows, cap=self.cap)
-        return verify_at(ext, idxs, ft.bucket_ids, ft.packed, m=ft.m,
-                         words=ft.words, lmax=ft.lmax, n_starts=n - ft.m + 1)
+        tw = pf.words_view_pallas(ext, nw=words_len(n, ft.words),
+                                  interpret=self.interpret)
+        return verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                         m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
+                         n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
