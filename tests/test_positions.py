@@ -1,0 +1,54 @@
+"""Match-position reporting (FastScanner.positions) vs the numpy oracle."""
+
+import numpy as np
+import pytest
+
+from tpu_smatcher.core.alphabet import Alphabet
+from tpu_smatcher.core import datagen
+from tpu_smatcher.engines import make_fast
+
+
+def _positions_oracle(text, pats):
+    return np.nonzero(np.asarray(datagen.match_starts(text, pats)))[0].astype(np.int64)
+
+
+@pytest.mark.parametrize("sigma,m", [(4, 8), (2, 12)])
+def test_positions_exact_tier(sigma, m):
+    ab = Alphabet.of_size(sigma)
+    text = datagen.generate_text(60_000, ab, seed=31)
+    pats = datagen.generate_patterns(text, 40, m, ab, frac_present=0.6, seed=32)
+    eng = make_fast(pats, backend="pallas", interpret=True, tile=1 << 12)
+    assert eng.ft.exact
+    got = eng.positions(text)
+    np.testing.assert_array_equal(got, _positions_oracle(text, pats))
+
+
+@pytest.mark.parametrize("sigma,m", [(4, 16), (20, 32)])
+def test_positions_fp_tier(sigma, m):
+    ab = Alphabet.of_size(sigma)
+    text = datagen.generate_text(60_000, ab, seed=33)
+    pats = datagen.generate_patterns(text, 60, m, ab, frac_present=0.6, seed=34)
+    eng = make_fast(pats, backend="pallas", interpret=True, tile=1 << 12)
+    assert not eng.ft.exact
+    got = eng.positions(text)
+    np.testing.assert_array_equal(got, _positions_oracle(text, pats))
+
+
+def test_positions_overflow_raises():
+    ab = Alphabet.dna()
+    # all-zero text + the all-zero pattern: every window matches
+    text = np.zeros(8_192, np.uint8)
+    pats_codes = np.zeros((1, 8), np.uint8)
+    from tpu_smatcher.core.patterns import PatternSet
+    pats = PatternSet(pats_codes, ab)
+    eng = make_fast(pats, backend="pallas", interpret=True, cap=256)
+    with pytest.raises(OverflowError):
+        eng.positions(text)
+
+
+def test_positions_short_text():
+    ab = Alphabet.dna()
+    pats = datagen.generate_patterns(
+        datagen.generate_text(100, ab, seed=1), 4, 8, ab, seed=2)
+    eng = make_fast(pats, backend="pallas", interpret=True)
+    assert eng.positions(np.zeros(3, np.uint8)).size == 0

@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     ckpt.add_argument("--tables", metavar="PATH",
                       help="load prebuilt tables instead of preprocessing "
                            "(single-engine runs)")
+    run.add_argument("--positions", metavar="OUT.npy",
+                     help="also write match start positions (fast engine, "
+                          "single device) to a .npy file")
     prof = p.add_argument_group("profiling")
     prof.add_argument("--profile", metavar="LOGDIR",
                       help="record a jax.profiler trace of the timed scans "
@@ -168,6 +171,12 @@ def run_engine(name, text, pats, args):
                 count = scanner.count(tdev)
                 times.append(time.time() - t0)
         t_scan = min(times)
+    if args.positions and name == "fast" and args.devices == 1:
+        pos = scanner.positions(tdev)
+        np.save(args.positions, pos)
+        if not args.json:
+            print(f"[fast ] {pos.size} match positions -> {args.positions}")
+
     return {
         "engine": name,
         "matches": int(count),

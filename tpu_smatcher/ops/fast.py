@@ -340,6 +340,24 @@ def text_to_words(text, nw: int):
                                               "n_starts", "slot_ok"))
 def verify_at(text_words, idxs, bucket_ids, packed, bucket_fp2, *, m, words,
               lmax, eb, n_starts, slot_ok=False):
+    return _verify_matched(text_words, idxs, bucket_ids, packed, bucket_fp2,
+                           m=m, words=words, lmax=lmax, eb=eb,
+                           n_starts=n_starts, slot_ok=slot_ok
+                           ).sum(dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "words", "lmax", "eb",
+                                              "n_starts", "slot_ok"))
+def verify_matched_at(text_words, idxs, bucket_ids, packed, bucket_fp2, *, m,
+                      words, lmax, eb, n_starts, slot_ok=False):
+    """(cap,) bool: which candidate idxs are exact matches (for positions)."""
+    return _verify_matched(text_words, idxs, bucket_ids, packed, bucket_fp2,
+                           m=m, words=words, lmax=lmax, eb=eb,
+                           n_starts=n_starts, slot_ok=slot_ok)
+
+
+def _verify_matched(text_words, idxs, bucket_ids, packed, bucket_fp2, *, m,
+                    words, lmax, eb, n_starts, slot_ok=False):
     """Exact verification at candidate positions (idxs padded with -1).
 
     Gathers words+1 aligned int32 words per candidate from the text's word
@@ -398,7 +416,7 @@ def verify_at(text_words, idxs, bucket_ids, packed, bucket_fp2, *, m, words,
         eq = jnp.ones((cap,), bool)
         for w in range(words):
             eq &= packed[pid_c, w] == vals[w]
-        return jnp.sum(ok & eq, dtype=jnp.int32)
+        return ok & eq
 
     matched = jnp.zeros((cap,), bool)
     for l in range(lmax):
@@ -409,7 +427,7 @@ def verify_at(text_words, idxs, bucket_ids, packed, bucket_fp2, *, m, words,
         for w in range(words):
             eq &= packed[pid_c, w] == vals[w]
         matched |= ok & eq
-    return jnp.sum(matched, dtype=jnp.int32)
+    return matched
 
 
 class FastScanner:
@@ -470,6 +488,45 @@ class FastScanner:
             raise OverflowError(
                 "candidate cap exceeded; raise cap= or use a dense engine")
         return c
+
+    def positions(self, text) -> np.ndarray:
+        """Sorted start positions of all matching windows.
+
+        The reference computes positions internally but only counts them
+        (SURVEY.md: the column loops in cuda_*/search_*); here they are a
+        first-class output.  Bounded by cap= (raises OverflowError beyond).
+        """
+        from tpu_smatcher.ops import pallas_filter as pf
+        text = jnp.asarray(text, jnp.uint8)
+        n = int(text.shape[0])
+        ft = self.ft
+        if n < ft.m:
+            return np.empty((0,), np.int64)
+        if self.backend != "pallas":
+            raise NotImplementedError("positions() requires the pallas backend")
+        if ft.exact:
+            mask2d = pf.exact_mask_pallas(text, ft.bitmaps[0], m=ft.m,
+                                          sigma=ft.sigma, n=n,
+                                          interpret=self.interpret)
+            idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap)
+            pos = np.asarray(idxs)
+            if bool(np.asarray(o)):
+                raise OverflowError("match count exceeds cap=; raise cap=")
+            return np.sort(pos[pos >= 0]).astype(np.int64)
+        k = stages_for(ft, n, self.cap)
+        mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
+                                       n_stages=k, interpret=self.interpret)
+        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap)
+        tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
+                                  interpret=self.interpret)
+        matched = verify_matched_at(
+            tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2, m=ft.m,
+            words=ft.words, lmax=ft.lmax, eb=ft.eb, n_starts=n - ft.m + 1,
+            slot_ok=ft.slot_ok)
+        if bool(np.asarray(o)):
+            raise OverflowError("candidate cap exceeded; raise cap=")
+        pos = np.asarray(idxs)[np.asarray(matched)]
+        return np.sort(pos[pos >= 0]).astype(np.int64)
 
     def core(self, ext):
         """Traceable per-shard count for distribution (overflow folded in:

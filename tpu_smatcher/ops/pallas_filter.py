@@ -134,6 +134,38 @@ def _exact_kernel(tile_ref, bitmap_ref, out_ref, *, m, bits, n_starts, rb):
     out_ref[0, 0] += s
 
 
+def _exact_mask_kernel(tile_ref, bitmap_ref, mask_ref, *, m, bits, n_starts, rb):
+    t32 = tile_ref[:, :LANES + m - 1].astype(jnp.int32)
+    keys = _wid_keys_2d(t32, m, bits)
+    hit = _bitmap_lookup(bitmap_ref, keys, rb)
+    hit = jnp.where(_window_positions(rb) < n_starts, hit, 0)
+    mask_ref[:] = hit.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "sigma", "n", "rb", "interpret"))
+def exact_mask_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
+                      sigma: int, n: int, rb: int = DEFAULT_RB,
+                      interpret: bool = False) -> jnp.ndarray:
+    """(R, 128) int8 per-position match mask for the exact tier — the mask
+    variant of exact_count_pallas, used for position reporting."""
+    tile, n_starts = overlap_rows(text, n, m, rb)
+    R = tile.shape[0]
+    kern = functools.partial(_exact_mask_kernel, m=m,
+                             bits=_bits_per_char(sigma),
+                             n_starts=n_starts, rb=rb)
+    return pl.pallas_call(
+        kern,
+        grid=(R // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, ROW_BYTES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, LANES), jnp.int8),
+        interpret=interpret,
+    )(tile, bitmap)
+
+
 def _filter_kernel(tile_ref, *refs, m, n_stages, n_starts, rb):
     bitmap_refs = refs[:n_stages]
     mask_ref = refs[n_stages]
