@@ -1,0 +1,60 @@
+"""Per-engine Pallas fast paths (interpret mode) vs the numpy ground truth.
+
+Each engine's production path runs its own algorithm-derived filter stage
+(prefix/suffix bitmap, WM SHIFT, SOG shift-or) composed with the shared
+exact/fingerprint machinery — counts must equal the oracle and the jnp path.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_smatcher.core.alphabet import Alphabet
+from tpu_smatcher.core import datagen
+from tpu_smatcher.engines import make_engine
+
+CASES = [
+    # sigma, m, engines (sog width == m)
+    (4, 8, ["ac", "sh", "sbom", "wm", "sog8"]),       # exact tier
+    (4, 16, ["ac", "sh", "sbom", "wm", "sog16"]),     # fp tier, suffix-8
+    (20, 32, ["ac", "sh", "sbom", "wm", "sog32"]),    # fp tier, protein
+    (2, 16, ["ac", "sh", "wm", "sog16"]),             # exact tier, binary
+]
+
+
+@pytest.mark.parametrize("sigma,m,engines", CASES)
+def test_engine_fastpath_parity(sigma, m, engines):
+    ab = Alphabet.of_size(sigma)
+    text = datagen.generate_text(50_000, ab, seed=61)
+    pats = datagen.generate_patterns(text, 50, m, ab, frac_present=0.6, seed=62)
+    truth = datagen.count_matches(text, pats)
+    for name in engines:
+        eng = make_engine(name, pats, interpret=True, tile=1 << 12)
+        assert eng.fast_path is not None
+        got = eng.count(text)           # dispatches to the pallas path
+        assert got == truth, f"{name}: {got} != {truth}"
+        # jnp path agrees too
+        eng2 = make_engine(name, pats, fastpath=False, tile=1 << 12)
+        assert eng2.count(text) == truth, name
+
+
+def test_fastpath_core_traceable():
+    import jax
+    import jax.numpy as jnp
+    ab = Alphabet.dna()
+    text = datagen.generate_text(20_000, ab, seed=63)
+    pats = datagen.generate_patterns(text, 30, 8, ab, seed=64)
+    eng = make_engine("wm", pats, interpret=True)
+    got = int(jax.jit(eng.fast_path.core)(jnp.asarray(text)))
+    assert got == datagen.count_matches(text, pats)
+
+
+def test_fastpath_overflow_raises():
+    from tpu_smatcher.core.patterns import PatternSet
+    ab = Alphabet.protein()
+    text = np.zeros(8_192, np.uint8)
+    pats = PatternSet(np.zeros((1, 32), np.uint8), ab)
+    eng = make_engine("wm", pats, interpret=True)
+    eng.fast_path.cap = 256
+    eng.fast_path.caprows = 256
+    with pytest.raises(OverflowError):
+        eng.count(text)

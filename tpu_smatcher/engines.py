@@ -70,14 +70,37 @@ def make_engine_from_tables(name: str, tables: dict, *, lanes: int = 8192,
     raise ValueError(f"unknown engine {name!r}; expected one of {ENGINE_NAMES}")
 
 
+def attach_fastpath(scanner, name: str, patterns: np.ndarray, sigma: int,
+                    *, interpret: bool = False, **opts):
+    """Attach the engine's production Pallas path (ops/pallas_engines.py).
+
+    Scanners dispatch to it on TPU backends (or always, in interpret mode);
+    the jnp scan remains the portable reference path."""
+    from tpu_smatcher.ops.pallas_engines import EngineFastPath
+    kw = dict(opts, interpret=interpret)
+    if name == "wm":
+        kw["shift_ext"] = np.asarray(scanner.shift_ext)
+    elif name.startswith("sog"):
+        kw["t_table"] = np.asarray(scanner.t_table)
+    kind = "sog" if name.startswith("sog") else name
+    scanner.fast_path = EngineFastPath(kind, patterns, sigma, **kw)
+    return scanner
+
+
 def make_engine(name: str, patterns: PatternSet, *, lanes: int = 8192,
-                q: int = 1, tile: int = DEFAULT_TILE):
+                q: int = 1, tile: int = DEFAULT_TILE, fastpath: bool = True,
+                interpret: bool = False):
     """Build the named engine over the pattern set.
 
     name: one of ac, sh, sbom, wm, sog8, sog16, sog32.
-    lanes/q apply to ac; tile to the filter engines."""
-    return make_engine_from_tables(name, build_tables(name, patterns),
-                                   lanes=lanes, q=q, tile=tile)
+    lanes/q apply to ac; tile to the filter engines.  fastpath attaches the
+    per-engine Pallas production path (used automatically on TPU)."""
+    eng = make_engine_from_tables(name, build_tables(name, patterns),
+                                  lanes=lanes, q=q, tile=tile)
+    if fastpath and name != "fast":
+        codes, sigma = _codes(patterns)
+        attach_fastpath(eng, name, codes, sigma, interpret=interpret)
+    return eng
 
 
 def make_fast(patterns: PatternSet, **opts):
@@ -91,7 +114,12 @@ def make_fast(patterns: PatternSet, **opts):
 
 def make_distributed(name: str, patterns: PatternSet, mesh, **opts):
     """Distributed engine over a 1-D device mesh: tables replicated, text
-    sharded with ICI halo exchange, count psum-reduced (parallel/dist.py)."""
+    sharded with ICI halo exchange, count psum-reduced (parallel/dist.py).
+    On TPU the per-shard scan is the engine's Pallas fast path."""
+    import jax
     from tpu_smatcher.parallel.dist import DistributedCounter
     eng = make_engine(name, patterns, **opts)
-    return DistributedCounter(eng.core, mesh, m=patterns.m, sigma=patterns.sigma)
+    fp = getattr(eng, "fast_path", None)
+    core = (fp.core if fp is not None
+            and (fp.interpret or jax.default_backend() == "tpu") else eng.core)
+    return DistributedCounter(core, mesh, m=patterns.m, sigma=patterns.sigma)

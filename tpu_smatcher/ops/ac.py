@@ -136,6 +136,10 @@ class ACScanner:
             self.dp = jnp.asarray(ac.delta_packed.reshape(-1))
 
     def count(self, text) -> int:
+        from tpu_smatcher.ops.common import active_fastpath
+        fp = active_fastpath(self)
+        if fp is not None:
+            return fp.count(text)
         text = jnp.asarray(text, jnp.uint8)
         n = int(text.shape[0])
         if self.q == 1:

@@ -16,6 +16,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def active_fastpath(scanner):
+    """The engine's Pallas fast path, when attached (engines.make_engine)
+    and applicable: always in interpret mode (tests), else on TPU backends.
+    The jnp paths remain the portable/CPU reference implementation."""
+    fp = getattr(scanner, "fast_path", None)
+    if fp is not None and (fp.interpret or jax.default_backend() == "tpu"):
+        return fp
+    return None
+
+
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 

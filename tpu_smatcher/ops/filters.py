@@ -31,7 +31,7 @@ from tpu_smatcher.automata.sbom import SBOMTables
 from tpu_smatcher.automata.wu import WMTables
 from tpu_smatcher.automata.sog import SOGTables, SOG_B
 from tpu_smatcher.automata.verify import VerifyTables
-from tpu_smatcher.ops.common import pad_col, tiled_count, verify_starts
+from tpu_smatcher.ops.common import active_fastpath, pad_col, tiled_count, verify_starts
 
 DEFAULT_TILE = 1 << 20
 
@@ -192,6 +192,9 @@ class WMScanner:
         self.bucket_ids = jnp.asarray(vt.bucket_ids.reshape(-1))
 
     def count(self, text) -> int:
+        fp = active_fastpath(self)
+        if fp is not None:
+            return fp.count(text)
         text = jnp.asarray(text, jnp.uint8)
         return int(wm_count(text, self.shift_ext, self.packed, self.bucket_ids,
                             sigma=self.sigma, m=self.m, lmax=self.lmax,
@@ -210,6 +213,9 @@ class SOGScanner:
         self.bucket_ids = jnp.asarray(vt.bucket_ids.reshape(-1))
 
     def count(self, text) -> int:
+        fp = active_fastpath(self)
+        if fp is not None:
+            return fp.count(text)
         text = jnp.asarray(text, jnp.uint8)
         return int(sog_count(text, self.t_table, self.packed, self.bucket_ids,
                              sigma=self.sigma, m=self.m, lmax=self.lmax,
@@ -227,6 +233,9 @@ class SHScanner:
         self.final = jnp.asarray(sh.final.astype(np.int32))
 
     def count(self, text) -> int:
+        fp = active_fastpath(self)
+        if fp is not None:
+            return fp.count(text)
         text = jnp.asarray(text, jnp.uint8)
         return int(sh_count(text, self.trans, self.final, sigma=self.sigma,
                             m=self.m, tile=self.tile, n=int(text.shape[0])))
@@ -245,6 +254,9 @@ class SBOMScanner:
         self.bucket_ids = jnp.asarray(vt.bucket_ids.reshape(-1))
 
     def count(self, text) -> int:
+        fp = active_fastpath(self)
+        if fp is not None:
+            return fp.count(text)
         text = jnp.asarray(text, jnp.uint8)
         return int(sbom_count(text, self.trans, self.final_count, self.packed,
                               self.bucket_ids, sigma=self.sigma, m=self.m,

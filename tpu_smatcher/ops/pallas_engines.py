@@ -1,0 +1,250 @@
+"""Per-engine production TPU paths: algorithm-specific Pallas filter stages.
+
+Each reference engine's distinguishing data structure becomes a dense Pallas
+filter stage over all window starts (counts preserved — a stage never
+rejects a true match; SURVEY.md §7):
+
+  AC    prefix-d window-id bitmap — the d-deep trie walk as one lookup
+        (the complete-DFA traversal collapses: all patterns have length m,
+        so "reach a terminal" == "the m-window is a pattern")
+  SH    suffix-d window-id bitmap — the backward reversed-trie walk
+        (cuda/cuda_sh.cu:93-101) as one lookup over the window's LAST d chars
+  SBOM  suffix-d bitmap — the backward factor-oracle walk
+        (cuda/cuda_sbom.cu:93-117); oracle acceptance is a superset of
+        suffix membership, so the suffix bitmap is the stronger exact filter
+  WM    its own SHIFT table: hit iff SHIFT[hash(last 3 chars)] == 0
+        (cuda/cuda_wm.cu:136-176), as a banked value lookup
+  SOG   its own T bitmask table: the sequential shift-or E register unrolled
+        to an AND of m-B+1 shifted T-bit streams (cuda/cuda_sog.cu:204-213)
+
+Stages compose inside ONE kernel with the shared machinery from
+ops/pallas_filter.py: when the exact window-id tier applies (sigma^m <= 2^16)
+the engine stage is AND-ed with the exact bitmap and the kernel emits the
+count directly; otherwise the engine stage is AND-ed with k fingerprint
+stages and candidates flow through hierarchical compaction + word-compare
+verification (ops/fast.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_smatcher.automata.sog import SOG_B
+from tpu_smatcher.ops.fast import (
+    FP_MULTS, DEFAULT_CAP, _bits_per_char, _wid_keys_np, build_fast,
+    compact_mask, stages_for, verify_at, words_len)
+from tpu_smatcher.ops.lookup import pack_bitmap
+from tpu_smatcher.ops.pallas_filter import (
+    LANES, ROW_BYTES, FILTER_RB, _bitmap_lookup, _fp_keys_2d, _wid_keys_2d,
+    _window_positions, overlap_rows, words_view_pallas)
+
+
+def _value_lookup(table_ref, idx: jnp.ndarray, rb: int) -> jnp.ndarray:
+    """Banked (B*128)-entry int32 table lookup; out-of-range banks give 0.
+
+    Mosaic's dynamic_gather needs idx and table shapes to match, so wide idx
+    (> 128 columns) is processed in 128-column chunks."""
+    B = table_ref.shape[0]
+    W = idx.shape[1]
+    if W > LANES:
+        pad = -(-W // LANES) * LANES - W
+        idxp = jnp.pad(idx, ((0, 0), (0, pad)))
+        chunks = [_value_lookup(table_ref, idxp[:, c:c + LANES], rb)
+                  for c in range(0, W + pad, LANES)]
+        return jnp.concatenate(chunks, axis=1)[:, :W]
+    lane = idx & 127
+    bank = idx >> 7
+    acc = jnp.zeros_like(lane)
+    for b in range(B):
+        tab = jnp.broadcast_to(table_ref[b][None, :], lane.shape)
+        v = jnp.take_along_axis(tab, lane, axis=1)
+        acc = jnp.where(bank == b, v, acc)
+    return acc
+
+
+def _stage_hit(kind, params, ref, t32, rb):
+    """One filter stage -> (rb, 128) int32 hits in {0, 1}."""
+    if kind == "wid":                      # window-id bitmap over d chars
+        off, d, bits = params
+        keys = _wid_keys_2d(t32[:, off:off + LANES + d - 1], d, bits)
+        return _bitmap_lookup(ref, keys, rb)
+    if kind == "fp":                       # polynomial fingerprint bitmap
+        m, mult = params
+        keys = _fp_keys_2d(t32[:, :LANES + m - 1], m, mult)
+        return _bitmap_lookup(ref, keys, rb)
+    if kind == "wm":                       # SHIFT[hash(last 3 chars)] == 0
+        (m,) = params
+        # 2-bit block hash, multiply-add form (matches automata/wu.py and
+        # ops/filters.py: h = (c0*4 + c1)*4 + c2; for sigma > 4 this differs
+        # from shift-or packing and must match the SHIFT table's builder)
+        h = (t32[:, m - 3:m - 3 + LANES] * 4 + t32[:, m - 2:m - 2 + LANES])
+        h = h * 4 + t32[:, m - 1:m - 1 + LANES]
+        v = _value_lookup(ref, h, rb)
+        return jnp.where(v == 0, 1, 0)
+    if kind == "sog":                      # shift-or T-bit streams, unrolled
+        m, sigma = params
+        W = LANES + m - SOG_B
+        g = (t32[:, 0:W] + t32[:, 1:W + 1] * sigma
+             + t32[:, 2:W + 2] * (sigma * sigma))
+        v = _value_lookup(ref, g, rb)
+        acc = jnp.zeros((rb, LANES), jnp.int32)
+        for i in range(m - SOG_B + 1):
+            acc = acc | ((v[:, i:i + LANES] >> i) & 1)
+        return acc ^ 1
+    raise ValueError(kind)
+
+
+def _stages_kernel(tile_ref, *refs, stages, n_starts, rb, count_mode):
+    out_ref = refs[len(stages)]
+    t32 = tile_ref[:].astype(jnp.int32)
+    hit = None
+    for i, (kind, params) in enumerate(stages):
+        h = _stage_hit(kind, params, refs[i], t32, rb)
+        hit = h if hit is None else (hit & h)
+    hit = jnp.where(_window_positions(rb) < n_starts, hit, 0)
+    if count_mode:
+        s = jnp.sum(hit, dtype=jnp.int32)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[0, 0] = 0
+
+        out_ref[0, 0] += s
+    else:
+        out_ref[:] = hit.astype(jnp.int8)
+
+
+def _run_stages(text, stages, tables, *, m, n, count_mode, rb=FILTER_RB,
+                interpret=False):
+    tile, n_starts = overlap_rows(text, n, m, rb)
+    R = tile.shape[0]
+    kern = functools.partial(_stages_kernel, stages=tuple(stages),
+                             n_starts=n_starts, rb=rb, count_mode=count_mode)
+    table_specs = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM) for t in tables]
+    if count_mode:
+        out_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        out_shape = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    else:
+        out_spec = pl.BlockSpec((rb, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((R, LANES), jnp.int8)
+    out = pl.pallas_call(
+        kern,
+        grid=(R // rb,),
+        in_specs=[pl.BlockSpec((rb, ROW_BYTES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + table_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(tile, *tables)
+    return out[0, 0] if count_mode else out
+
+
+def _to_banks(values: np.ndarray) -> jnp.ndarray:
+    """(N,) int table -> (ceil(N/128), 128) int32 banks (zero padded)."""
+    v = np.asarray(values)
+    B = -(-len(v) // LANES)
+    out = np.zeros((B, LANES), np.int32)
+    out.reshape(-1)[:len(v)] = v.astype(np.int64).astype(np.int32)
+    return jnp.asarray(out)
+
+
+class EngineFastPath:
+    """Shared driver: engine stage + exact/fingerprint stages + verify.
+
+    kind: 'ac' | 'sh' | 'sbom' | 'wm' | 'sog'.  Counts equal the engine's
+    jnp path and the numpy oracle (windows with >= 1 exact occurrence).
+    """
+
+    def __init__(self, kind: str, patterns: np.ndarray, sigma: int, *,
+                 shift_ext=None, t_table=None, cap: int = DEFAULT_CAP,
+                 caprows: int | None = None, interpret: bool = False):
+        patterns = np.asarray(patterns, np.uint8)
+        p, m = patterns.shape
+        self.kind, self.m, self.sigma = kind, m, sigma
+        self.cap = cap
+        self.caprows = caprows if caprows is not None else cap
+        self.interpret = interpret
+        self.ft = build_fast(patterns, sigma)
+        bits = _bits_per_char(sigma)
+
+        if kind == "wm":
+            assert shift_ext is not None
+            self.stage0 = ("wm", (m,))
+            self.table0 = _to_banks(np.asarray(shift_ext))
+        elif kind == "sog":
+            assert t_table is not None
+            self.stage0 = ("sog", (m, sigma))
+            self.table0 = _to_banks(np.asarray(t_table))
+        else:
+            d = min(m, 16 // bits)
+            off = 0 if kind == "ac" else m - d
+            if self.ft.exact and d == m:
+                self.stage0 = None          # identical to the exact stage
+                self.table0 = None
+            else:
+                sub = patterns[:, off:off + d]
+                bm = pack_bitmap(_wid_keys_np(sub, sigma), 1 << 16)
+                self.stage0 = ("wid", (off, d, bits))
+                self.table0 = jnp.asarray(bm)
+
+        self._jcount = jax.jit(self._count_impl)
+
+    def _stages(self, n):
+        stages, tables = [], []
+        if self.stage0 is not None:
+            stages.append(self.stage0)
+            tables.append(self.table0)
+        ft = self.ft
+        bits = _bits_per_char(self.sigma)
+        if ft.exact:
+            stages.append(("wid", (0, self.m, bits)))
+            tables.append(ft.bitmaps[0])
+            return stages, tables, True
+        k = stages_for(ft, n, self.cap)
+        for s in range(k):
+            stages.append(("fp", (self.m, FP_MULTS[s])))
+            tables.append(ft.bitmaps[s])
+        return stages, tables, False
+
+    def _count_impl(self, ext):
+        """Traceable (count, overflow) over starts of its argument."""
+        ft = self.ft
+        n = ext.shape[0]        # static under trace
+        if n < self.m:
+            return jnp.int32(0), jnp.int32(0)
+        stages, tables, exact = self._stages(n)
+        if exact:
+            c = _run_stages(ext, stages, tables, m=self.m, n=n,
+                            count_mode=True, interpret=self.interpret)
+            return c, jnp.int32(0)
+        mask2d = _run_stages(ext, stages, tables, m=self.m, n=n,
+                             count_mode=False, interpret=self.interpret)
+        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap)
+        tw = words_view_pallas(ext, nw=words_len(n, ft.words),
+                               interpret=self.interpret)
+        c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                      m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
+                      n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+        return c, jnp.int32(o)
+
+    def count(self, text) -> int:
+        text = jnp.asarray(text, jnp.uint8)
+        c, o = self._jcount(text)         # jit-cached per text shape
+        co = np.asarray(jnp.stack([c, o]))   # one host fetch
+        if co[1]:
+            raise OverflowError(
+                "candidate cap exceeded; raise cap= or use the jnp path")
+        return int(co[0])
+
+    def core(self, ext):
+        """Traceable count over starts [0, len - m + 1) of its argument
+        (overflow folded in — for shard_map distribution)."""
+        return self._count_impl(ext)[0]
