@@ -175,12 +175,15 @@ class EngineFastPath:
         self.ft = build_fast(patterns, sigma)
         bits = _bits_per_char(sigma)
 
-        if kind == "wm":
-            assert shift_ext is not None
+        # a banked value lookup unrolls one gather per 128 entries; beyond
+        # this the engine stage costs more than the fp stages it saves —
+        # drop it and lead with a prefix/suffix bitmap stage instead
+        MAX_BANKS = 32
+
+        if kind == "wm" and len(np.asarray(shift_ext)) <= MAX_BANKS * LANES:
             self.stage0 = ("wm", (m,))
             self.table0 = _to_banks(np.asarray(shift_ext))
-        elif kind == "sog":
-            assert t_table is not None
+        elif kind == "sog" and len(np.asarray(t_table)) <= MAX_BANKS * LANES:
             self.stage0 = ("sog", (m, sigma))
             self.table0 = _to_banks(np.asarray(t_table))
         else:
