@@ -64,3 +64,29 @@ def test_native_rejects_out_of_range():
     pats = np.full((2, 8), 5, np.uint8)
     with pytest.raises(ValueError):
         build_ac(pats, 4, native=True)
+
+
+def test_native_fasta_encoder_matches_python(tmp_path):
+    import numpy as np
+    from tpu_smatcher.core.alphabet import Alphabet
+    from tpu_smatcher.core import corpus
+    from tpu_smatcher import native as nat
+
+    fasta = (b">chr1 test header\n"
+             b"ACGTacgtNNRY\n"
+             b"GGCC AATT\n"          # interior space dropped
+             b">chr2\nTTTT\r\nacgt\n")
+    p = tmp_path / "t.fa"
+    p.write_bytes(fasta)
+    ab = Alphabet.dna()
+
+    c = corpus.load_fasta(str(p), ab)
+    # python reference computed inline (headers/whitespace removed, encode)
+    seq = b"ACGTacgtNNRYGGCCAATTTTTTacgt"
+    want = ab.encode(seq)
+    np.testing.assert_array_equal(c.codes, want)
+
+    raw = np.frombuffer(fasta, np.uint8)
+    got = nat.encode_fasta_native(raw, corpus._fasta_lut(ab))
+    if got is not None:            # native available
+        np.testing.assert_array_equal(got, want)

@@ -37,15 +37,39 @@ def load_raw(path: str, alphabet: Alphabet, name: str = "") -> Corpus:
     return Corpus(alphabet.encode(raw), alphabet, name or os.path.basename(path))
 
 
+def _fasta_lut(alphabet: Alphabet) -> np.ndarray:
+    """Raw byte -> code LUT for the native encoder: alphabet chars (upper and
+    lower case) to their codes, whitespace to the skip marker 255, anything
+    else to 0 (matching Alphabet.encode's wildcard handling)."""
+    lut = np.zeros(256, np.uint8)
+    for code, ch in enumerate(alphabet.chars):
+        lut[ch] = code
+        if 65 <= ch <= 90:
+            lut[ch + 32] = code
+    for ws in b"\n\r\t ":
+        lut[ws] = 255
+    return lut
+
+
 def load_fasta(path: str, alphabet: Alphabet, name: str = "") -> Corpus:
-    """Load a FASTA file: strip '>' header lines and newlines, encode."""
+    """Load a FASTA file: skip '>' header lines, drop whitespace, encode.
+
+    Uses the native C encoder (native/builders.cpp:tpu_encode_fasta) when the
+    alphabet has a char map; pure-python fallback otherwise."""
+    name = name or os.path.basename(path)
+    if alphabet.chars is not None:
+        from tpu_smatcher import native as nat
+        raw = np.fromfile(path, dtype=np.uint8)
+        codes = nat.encode_fasta_native(raw, _fasta_lut(alphabet))
+        if codes is not None:
+            return Corpus(codes, alphabet, name)
     chunks = []
     with open(path, "rb") as f:
         for line in f:
             if line.startswith(b">"):
                 continue
-            chunks.append(line.strip())
-    return Corpus(alphabet.encode(b"".join(chunks)), alphabet, name or os.path.basename(path))
+            chunks.append(b"".join(line.split()))
+    return Corpus(alphabet.encode(b"".join(chunks)), alphabet, name)
 
 
 def load_shard(path: str, alphabet: Alphabet, shard: int, num_shards: int,

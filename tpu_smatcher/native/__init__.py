@@ -32,6 +32,8 @@ def _configure(lib):
     lib.tpu_build_sh.argtypes = [_i8p] + [ctypes.c_int64] * 3 + [_i32p, _i8p, _i32p]
     lib.tpu_build_sbom.restype = ctypes.c_int64
     lib.tpu_build_sbom.argtypes = [_i8p] + [ctypes.c_int64] * 3 + [_i32p, _i32p, _i32p, _i32p]
+    lib.tpu_encode_fasta.restype = ctypes.c_int64
+    lib.tpu_encode_fasta.argtypes = [_i8p, ctypes.c_int64, _i8p, _i8p]
     return lib
 
 
@@ -98,6 +100,21 @@ def build_sh_native(patterns: np.ndarray, sigma: int):
         raise ValueError("pattern byte out of range for alphabet")
     n = int(n)
     return transition[:n].copy(), final[:n].copy(), bmBc, n
+
+
+def encode_fasta_native(raw: np.ndarray, lut: np.ndarray):
+    """Encode a FASTA byte stream ('>' lines skipped, lut[b]==255 = skip).
+
+    raw: (n,) uint8; lut: (256,) uint8.  Returns (n_out,) uint8, or None if
+    the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    lut = np.ascontiguousarray(lut, dtype=np.uint8)
+    out = np.empty(max(raw.size, 1), np.uint8)
+    n = lib.tpu_encode_fasta(raw, raw.size, lut, out)
+    return out[:int(n)].copy()
 
 
 def build_sbom_native(patterns: np.ndarray, sigma: int):

@@ -184,4 +184,27 @@ int64_t tpu_build_sbom(const uint8_t *pats, int64_t p, int64_t m, int64_t sigma,
   return n_states;
 }
 
+// FASTA/raw corpus encoder (the reference's data path is C — the missing
+// helper2 load_files; core/corpus.py load_fasta is the python fallback).
+// lut[b]: code point for raw byte b, or 255 = skip (whitespace).  '>' header
+// lines are skipped to end-of-line.  Returns encoded length (<= n).
+int64_t tpu_encode_fasta(const uint8_t* in, int64_t n, const uint8_t* lut,
+                         uint8_t* out) {
+  int64_t o = 0;
+  int64_t i = 0;
+  while (i < n) {
+    const uint8_t b = in[i];
+    if (b == '>') {                       // skip header line via memchr
+      const void* nl = memchr(in + i, '\n', (size_t)(n - i));
+      i = nl ? (int64_t)((const uint8_t*)nl - in) : n;
+      continue;
+    }
+    const uint8_t v = lut[b];
+    out[o] = v;                           // branchless emit
+    o += (v != 255);
+    ++i;
+  }
+  return o;
+}
+
 }  // extern "C"
