@@ -58,3 +58,22 @@ def test_fastpath_overflow_raises():
     eng.fast_path.caprows = 256
     with pytest.raises(OverflowError):
         eng.count(text)
+
+
+def test_byte_alphabet_and_long_patterns():
+    """sigma=256 (raw bytes) and m=64 coverage through the fast paths."""
+    ab = Alphabet.of_size(256)
+    text = datagen.generate_text(40_000, ab, seed=71)
+    pats = datagen.generate_patterns(text, 40, 16, ab, frac_present=0.6, seed=72)
+    truth = datagen.count_matches(text, pats)
+    for name in ("wm", "ac", "sog16"):
+        eng = make_engine(name, pats, interpret=True, tile=1 << 12)
+        assert eng.count(text) == truth, name
+
+    ab2 = Alphabet.protein()
+    text2 = datagen.generate_text(40_000, ab2, seed=73)
+    pats2 = datagen.generate_patterns(text2, 30, 64, ab2, frac_present=0.6, seed=74)
+    truth2 = datagen.count_matches(text2, pats2)
+    from tpu_smatcher.engines import make_fast
+    assert make_fast(pats2, backend="pallas", interpret=True).count(text2) == truth2
+    assert make_engine("sh", pats2, interpret=True, tile=1 << 12).count(text2) == truth2
