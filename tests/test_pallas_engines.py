@@ -44,8 +44,9 @@ def test_fastpath_core_traceable():
     text = datagen.generate_text(20_000, ab, seed=63)
     pats = datagen.generate_patterns(text, 30, 8, ab, seed=64)
     eng = make_engine("wm", pats, interpret=True)
-    got = int(jax.jit(eng.fast_path.core)(jnp.asarray(text)))
-    assert got == datagen.count_matches(text, pats)
+    c, o = jax.jit(eng.fast_path.core)(jnp.asarray(text))
+    assert int(o) == 0
+    assert int(c) == datagen.count_matches(text, pats)
 
 
 def test_fastpath_overflow_raises():

@@ -158,48 +158,24 @@ def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None)
 # dense key computation (traceable)
 # ---------------------------------------------------------------------------
 
-def _slice(x, off, size):
-    return jax.lax.dynamic_slice(x, (off,), (size,))
-
-
 def _wid_keys(chunk: jnp.ndarray, n_starts: int, m: int, sigma: int) -> jnp.ndarray:
-    """Packed window ids by binary segment doubling (O(log m) vector ops):
-    V_{a+b}[j] = (V_a[j] << b*bits) | V_b[j+a]."""
-    bits = _bits_per_char(sigma)
-    t = chunk.astype(jnp.int32)
-    W0 = t.shape[0]
-    cache = {1: t}
-
-    def seg(L):                      # width of seg(L) is W0 - (L - 1)
-        if L not in cache:
-            a = L // 2
-            b = L - a
-            va, vb = seg(a), seg(b)
-            w = W0 - (L - 1)
-            cache[L] = (va[:w] << (b * bits)) | jax.lax.dynamic_slice(vb, (a,), (w,))
-        return cache[L]
-
-    return seg(m)[:n_starts]
+    """Packed window ids, O(log m) segment doubling (ops/keys.py)."""
+    from tpu_smatcher.ops import keys as keys_mod
+    return keys_mod.wid_keys(chunk.astype(jnp.int32), m,
+                             _bits_per_char(sigma))[:n_starts]
 
 
 def _fp_keys(chunk: jnp.ndarray, n_starts: int, m: int, mult: int) -> jnp.ndarray:
-    """Polynomial fingerprints mod 2^16 by segment doubling:
-    F_{a+b}[j] = F_a[j] + mult^a * F_b[j+a]."""
-    t = chunk.astype(jnp.int32)
-    W0 = t.shape[0]
-    cache = {1: t}
+    """16-bit polynomial fingerprints, segment doubling (ops/keys.py)."""
+    from tpu_smatcher.ops import keys as keys_mod
+    return keys_mod.fp_keys(chunk.astype(jnp.int32), m, mult)[:n_starts]
 
-    def seg(L):                      # width of seg(L) is W0 - (L - 1)
-        if L not in cache:
-            a = L // 2
-            b = L - a
-            fa, fb = seg(a), seg(b)
-            w = W0 - (L - 1)
-            ma = pow(mult, a, 1 << 16)
-            cache[L] = (fa[:w] + ma * jax.lax.dynamic_slice(fb, (a,), (w,))) & 0xFFFF
-        return cache[L]
 
-    return seg(m)[:n_starts]
+def _pad_guard(chunk: jnp.ndarray, n_starts: int, m: int, sigma: int) -> jnp.ndarray:
+    """(n_starts,) bool: window holds only real chars (< sigma) — see
+    ops/keys.py:max_keys for why exact-tier scans must mask by this."""
+    from tpu_smatcher.ops import keys as keys_mod
+    return keys_mod.max_keys(chunk.astype(jnp.int32), m)[:n_starts] < sigma
 
 
 # ---------------------------------------------------------------------------
@@ -207,7 +183,7 @@ def _fp_keys(chunk: jnp.ndarray, n_starts: int, m: int, mult: int) -> jnp.ndarra
 # ---------------------------------------------------------------------------
 
 def fast_count_core(text: jnp.ndarray, ft: FastTables, *, tile: int = DEFAULT_TILE,
-                    cap: int = DEFAULT_CAP):
+                    cap: int = DEFAULT_CAP, guard: bool = False):
     """Traceable: returns (count, overflowed) — overflowed=1 means some tile
     had more than `cap` candidates and the count may undercount; callers
     fall back to a dense engine in that case (never silently wrong)."""
@@ -230,7 +206,9 @@ def fast_count_core(text: jnp.ndarray, ft: FastTables, *, tile: int = DEFAULT_TI
         if ft.exact:
             keys = _wid_keys(chunk, tile, m, ft.sigma)
             hit = bitmap_test(ft.bitmaps[0], keys)
-            return (count + jnp.sum(jnp.where(valid, hit, 0), dtype=jnp.int32),
+            valid_e = (valid & _pad_guard(chunk, tile, m, ft.sigma)
+                       if guard else valid)
+            return (count + jnp.sum(jnp.where(valid_e, hit, 0), dtype=jnp.int32),
                     overflow)
 
         fp0 = _fp_keys(chunk, tile, m, FP_MULTS[0])
@@ -289,19 +267,21 @@ def nonzero_scatter(mask, size: int, fill: int):
     return out.at[pos].set(iota, mode="drop", unique_indices=True)
 
 
-#: per-candidate-row slots extracted by hierarchical compaction
+#: default per-candidate-row slots extracted by hierarchical compaction
 ROW_SLOTS = 8
 
 
-@functools.partial(jax.jit, static_argnames=("caprows", "cap"))
-def compact_mask(mask2d, *, caprows: int = 1 << 16, cap: int = DEFAULT_CAP):
+@functools.partial(jax.jit, static_argnames=("caprows", "cap", "row_slots"))
+def compact_mask(mask2d, *, caprows: int = 1 << 16, cap: int = DEFAULT_CAP,
+                 row_slots: int = ROW_SLOTS):
     """Hierarchical candidate compaction (measured: ~10ms at 64M positions
     vs ~600ms for flat jnp.nonzero).
 
     mask2d: (R, 128) int8 from the Pallas filter (invalid positions zero).
     Returns (idxs (cap,) candidate positions padded with -1, overflowed).
     Overflow if more than `caprows` rows contain candidates, any row holds
-    more than ROW_SLOTS candidates, or total candidates exceed cap."""
+    more than `row_slots` candidates (raise row_slots= for dense-match
+    workloads), or total candidates exceed cap."""
     R = mask2d.shape[0]
     row_counts = jnp.sum(mask2d.astype(jnp.int32), axis=1)
     n_rows = jnp.sum(row_counts > 0, dtype=jnp.int32)
@@ -311,10 +291,10 @@ def compact_mask(mask2d, *, caprows: int = 1 << 16, cap: int = DEFAULT_CAP):
     bits = jnp.take(mask2d, rows_c, axis=0).astype(jnp.int32)    # (caprows, 128)
     cum = jnp.cumsum(bits, axis=1)
     count = cum[:, -1]
-    row_ovf = jnp.any(row_live & (count > ROW_SLOTS))
+    row_ovf = jnp.any(row_live & (count > row_slots))
     slots = []
     slot_valid = []
-    for k in range(ROW_SLOTS):
+    for k in range(row_slots):
         lane_k = jnp.sum(cum < (k + 1), axis=1)                  # (caprows,)
         slots.append(rows_c * 128 + jnp.minimum(lane_k, 127))
         slot_valid.append(row_live & (k < count))
@@ -333,20 +313,6 @@ def words_len(n: int, words: int) -> int:
     """Length of the int32 word view covering an n-byte text plus the
     gather margin (verify_at reads words+1 consecutive words per start)."""
     return -(-n // 4) + words + 1
-
-
-@functools.partial(jax.jit, static_argnames=("nw",))
-def text_to_words(text, nw: int):
-    """(n,) uint8 -> (nw,) int32 little-endian word view (zero padded).
-
-    Built from four stride-4 slices (a (nw, 4)-u8 bitcast would be laid out
-    with the 4-wide minor dim padded to a full lane tile — a 32x memory
-    blowup on TPU)."""
-    t = jnp.zeros((nw * 4,), jnp.uint8).at[:text.shape[0]].set(text)
-    w = t[0::4].astype(jnp.int32)
-    for k in range(1, 4):
-        w = w | (t[k::4].astype(jnp.int32) << (8 * k))
-    return w
 
 
 @functools.partial(jax.jit, static_argnames=("m", "words", "lmax", "eb",
@@ -451,16 +417,19 @@ class FastScanner:
 
     def __init__(self, ft: FastTables, *, tile: int = DEFAULT_TILE,
                  cap: int = DEFAULT_CAP, caprows: int = 1 << 16,
-                 backend: str = "auto", interpret: bool = False):
+                 row_slots: int = ROW_SLOTS, backend: str = "auto",
+                 interpret: bool = False):
         self.ft = ft
         self.tile = tile
         self.cap = cap
         self.caprows = caprows
+        self.row_slots = row_slots
         self.m = ft.m
         self.sigma = ft.sigma
         self.interpret = interpret
         if backend == "auto":
-            backend = "xla" if jax.default_backend() == "cpu" and not interpret else "pallas"
+            backend = ("pallas" if jax.default_backend() == "tpu" or interpret
+                       else "xla")
         self.backend = backend
         self._jit = jax.jit(functools.partial(
             fast_count_core, ft=ft, tile=tile, cap=cap))
@@ -478,7 +447,8 @@ class FastScanner:
         k = stages_for(ft, n, self.cap)
         mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
                                        n_stages=k, interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap)
+        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap,
+                               row_slots=self.row_slots)
         tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
                                   interpret=self.interpret)
         c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
@@ -499,7 +469,8 @@ class FastScanner:
         c, o = self.count_with_overflow(text)
         if o:
             raise OverflowError(
-                "candidate cap exceeded; raise cap= or use a dense engine")
+                "candidate cap exceeded; raise cap= (and row_slots= for "
+                "dense-match workloads) or use backend='xla'")
         return c
 
     def positions(self, text) -> np.ndarray:
@@ -521,15 +492,18 @@ class FastScanner:
             mask2d = pf.exact_mask_pallas(text, ft.bitmaps[0], m=ft.m,
                                           sigma=ft.sigma, n=n,
                                           interpret=self.interpret)
-            idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap)
+            idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap,
+                               row_slots=self.row_slots)
             pos = np.asarray(idxs)
             if bool(np.asarray(o)):
-                raise OverflowError("match count exceeds cap=; raise cap=")
+                raise OverflowError(
+                    "match count exceeds limits; raise cap= / row_slots=")
             return np.sort(pos[pos >= 0]).astype(np.int64)
         k = stages_for(ft, n, self.cap)
         mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
                                        n_stages=k, interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap)
+        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap,
+                               row_slots=self.row_slots)
         tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
                                   interpret=self.interpret)
         matched = verify_matched_at(
@@ -542,29 +516,33 @@ class FastScanner:
         return np.sort(pos[pos >= 0]).astype(np.int64)
 
     def core(self, ext):
-        """Traceable per-shard count for distribution (overflow folded in:
-        psum of counts; overflow raises only via count())."""
+        """Traceable per-shard (count, overflow) for distribution: the
+        overflow flag rides the psum so distributed scans raise instead of
+        silently undercounting (parallel/dist.py)."""
         if self.backend == "pallas":
             return self._core_pallas(ext)
-        c, _ = fast_count_core(ext, self.ft, tile=self.tile, cap=self.cap)
-        return c
+        return fast_count_core(ext, self.ft, tile=self.tile, cap=self.cap,
+                               guard=True)
 
     def _core_pallas(self, ext):
         from tpu_smatcher.ops import pallas_filter as pf
         ft = self.ft
         n = ext.shape[0]        # static under trace
         if n < ft.m:
-            return jnp.int32(0)
+            return jnp.int32(0), jnp.int32(0)
         if ft.exact:
-            return pf.exact_count_pallas(ext, ft.bitmaps[0], m=ft.m,
-                                         sigma=ft.sigma, n=n,
-                                         interpret=self.interpret)
+            return (pf.exact_count_pallas(ext, ft.bitmaps[0], m=ft.m,
+                                          sigma=ft.sigma, n=n, guard=True,
+                                          interpret=self.interpret),
+                    jnp.int32(0))
         k = stages_for(ft, n, self.cap)
         mask2d = pf.filter_mask_pallas(ext, ft.bitmaps[:k], m=ft.m, n=n,
                                        n_stages=k, interpret=self.interpret)
-        idxs, _ = compact_mask(mask2d, caprows=self.caprows, cap=self.cap)
+        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap,
+                               row_slots=self.row_slots)
         tw = pf.words_view_pallas(ext, nw=words_len(n, ft.words),
                                   interpret=self.interpret)
-        return verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
-                         m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
-                         n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+        c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                      m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
+                      n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+        return c, jnp.int32(o)

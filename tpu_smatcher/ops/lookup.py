@@ -7,7 +7,6 @@ lookups/s for generic 1-D ``table[idx]`` gathers.  Fused into elementwise
 pipelines, full scans run at hundreds of GB/s.  This module packages that
 fast path:
 
-  - lookup128: idx < 128 into a 128-entry vector
   - lookup_banked: idx < 128*B via B lane-gathers + selects (cost ~ B)
   - bitmap_test: membership of 16-bit keys in a 65536-bit bitmap
     (16 int32 banks), the workhorse of the exact/fingerprint kernels
@@ -28,13 +27,6 @@ def _to_rows(idx: jnp.ndarray) -> tuple[jnp.ndarray, int]:
     if pad:
         idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
     return idx.reshape(rows, 128), n
-
-
-def lookup128(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """table: (128,) int32; idx: (N,) int32 in [0,128). Returns (N,) values."""
-    idx2, n = _to_rows(idx)
-    tab2 = jnp.broadcast_to(table[None, :], idx2.shape)
-    return jnp.take_along_axis(tab2, idx2, axis=1).reshape(-1)[:n]
 
 
 def lookup_banked(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -100,13 +100,19 @@ def _stage_hit(kind, params, ref, t32, rb):
     raise ValueError(kind)
 
 
-def _stages_kernel(tile_ref, *refs, stages, n_starts, rb, count_mode):
+def _stages_kernel(tile_ref, *refs, stages, m, sigma, n_starts, rb,
+                   count_mode, guard):
     out_ref = refs[len(stages)]
     t32 = tile_ref[:].astype(jnp.int32)
     hit = None
     for i, (kind, params) in enumerate(stages):
         h = _stage_hit(kind, params, refs[i], t32, rb)
         hit = h if hit is None else (hit & h)
+    if count_mode and guard:
+        # counted without verification: mask pad-contaminated windows, whose
+        # packed ids can alias real ones (pallas_filter._pad_guard_2d)
+        from tpu_smatcher.ops.pallas_filter import _pad_guard_2d
+        hit = hit & _pad_guard_2d(t32[:, :LANES + m - 1], m, sigma)
     hit = jnp.where(_window_positions(rb) < n_starts, hit, 0)
     if count_mode:
         s = jnp.sum(hit, dtype=jnp.int32)
@@ -120,12 +126,13 @@ def _stages_kernel(tile_ref, *refs, stages, n_starts, rb, count_mode):
         out_ref[:] = hit.astype(jnp.int8)
 
 
-def _run_stages(text, stages, tables, *, m, n, count_mode, rb=FILTER_RB,
-                interpret=False):
+def _run_stages(text, stages, tables, *, m, sigma, n, count_mode,
+                guard=False, rb=FILTER_RB, interpret=False):
     tile, n_starts = overlap_rows(text, n, m, rb)
     R = tile.shape[0]
-    kern = functools.partial(_stages_kernel, stages=tuple(stages),
-                             n_starts=n_starts, rb=rb, count_mode=count_mode)
+    kern = functools.partial(_stages_kernel, stages=tuple(stages), m=m,
+                             sigma=sigma, n_starts=n_starts, rb=rb,
+                             count_mode=count_mode, guard=guard)
     table_specs = [pl.BlockSpec(t.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM) for t in tables]
     if count_mode:
@@ -165,12 +172,14 @@ class EngineFastPath:
 
     def __init__(self, kind: str, patterns: np.ndarray, sigma: int, *,
                  shift_ext=None, t_table=None, cap: int = DEFAULT_CAP,
-                 caprows: int | None = None, interpret: bool = False):
+                 caprows: int | None = None, row_slots: int | None = None,
+                 interpret: bool = False):
         patterns = np.asarray(patterns, np.uint8)
         p, m = patterns.shape
         self.kind, self.m, self.sigma = kind, m, sigma
         self.cap = cap
         self.caprows = caprows if caprows is not None else cap
+        self.row_slots = row_slots if row_slots is not None else 8
         self.interpret = interpret
         self.ft = build_fast(patterns, sigma)
         bits = _bits_per_char(sigma)
@@ -217,20 +226,23 @@ class EngineFastPath:
             tables.append(ft.bitmaps[s])
         return stages, tables, False
 
-    def _count_impl(self, ext):
-        """Traceable (count, overflow) over starts of its argument."""
+    def _count_impl(self, ext, guard=False):
+        """Traceable (count, overflow) over starts of its argument.
+        guard masks pad-contaminated windows (distribution shards)."""
         ft = self.ft
         n = ext.shape[0]        # static under trace
         if n < self.m:
             return jnp.int32(0), jnp.int32(0)
         stages, tables, exact = self._stages(n)
         if exact:
-            c = _run_stages(ext, stages, tables, m=self.m, n=n,
-                            count_mode=True, interpret=self.interpret)
+            c = _run_stages(ext, stages, tables, m=self.m, sigma=self.sigma,
+                            n=n, count_mode=True, guard=guard,
+                            interpret=self.interpret)
             return c, jnp.int32(0)
-        mask2d = _run_stages(ext, stages, tables, m=self.m, n=n,
-                             count_mode=False, interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap)
+        mask2d = _run_stages(ext, stages, tables, m=self.m, sigma=self.sigma,
+                             n=n, count_mode=False, interpret=self.interpret)
+        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap,
+                               row_slots=self.row_slots)
         tw = words_view_pallas(ext, nw=words_len(n, ft.words),
                                interpret=self.interpret)
         c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
@@ -244,10 +256,11 @@ class EngineFastPath:
         co = np.asarray(jnp.stack([c, o]))   # one host fetch
         if co[1]:
             raise OverflowError(
-                "candidate cap exceeded; raise cap= or use the jnp path")
+                "candidate cap exceeded; raise cap=/row_slots= or use the "
+                "jnp path")
         return int(co[0])
 
     def core(self, ext):
-        """Traceable count over starts [0, len - m + 1) of its argument
-        (overflow folded in — for shard_map distribution)."""
-        return self._count_impl(ext)[0]
+        """Traceable per-shard (count, overflow) for shard_map distribution
+        (parallel/dist.py psums both and raises on overflow)."""
+        return self._count_impl(ext, guard=True)

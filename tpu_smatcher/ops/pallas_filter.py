@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_smatcher.ops.fast import FP_MULTS, _bits_per_char
+from tpu_smatcher.ops import keys as keys_mod
 
 LANES = 128
 ROW_BYTES = 256          # per-row context: 128 positions + up to 128 tail bytes
@@ -79,51 +80,32 @@ def _bitmap_lookup(bitmap_ref, keys: jnp.ndarray, rb: int) -> jnp.ndarray:
 
 
 def _wid_keys_2d(t32: jnp.ndarray, m: int, bits: int) -> jnp.ndarray:
-    """Packed window ids by binary segment doubling: O(log m) vector ops.
-
-    V_L[j] packs the L chars at columns [j, j+L); V_{a+b}[j] =
-    (V_a[j] << b*bits) | V_b[j+a].  All slices static; arrays stay at full
-    width and shrink only logically (valid over [0, W-(L-1)))."""
-    W0 = t32.shape[1]
-    cache = {1: t32}
-
-    def seg(L):                      # width of seg(L) is W0 - (L - 1)
-        if L not in cache:
-            a = L // 2
-            b = L - a
-            va, vb = seg(a), seg(b)
-            w = W0 - (L - 1)
-            cache[L] = (va[:, :w] << (b * bits)) | vb[:, a:a + w]
-        return cache[L]
-
-    return seg(m)[:, :LANES]
+    return keys_mod.wid_keys(t32, m, bits)[:, :LANES]
 
 
 def _fp_keys_2d(t32: jnp.ndarray, m: int, mult: int) -> jnp.ndarray:
-    """Polynomial fingerprints mod 2^16 by segment doubling: O(log m) ops.
-
-    F_L[j] = sum_{i<L} c[j+i] * mult^i (mod 2^16);
-    F_{a+b}[j] = F_a[j] + mult^a * F_b[j+a]."""
-    W0 = t32.shape[1]
-    cache = {1: t32}
-
-    def seg(L):                      # width of seg(L) is W0 - (L - 1)
-        if L not in cache:
-            a = L // 2
-            b = L - a
-            fa, fb = seg(a), seg(b)
-            w = W0 - (L - 1)
-            ma = pow(mult, a, 1 << 16)
-            cache[L] = (fa[:, :w] + ma * fb[:, a:a + w]) & 0xFFFF
-        return cache[L]
-
-    return seg(m)[:, :LANES]
+    return keys_mod.fp_keys(t32, m, mult)[:, :LANES]
 
 
-def _exact_kernel(tile_ref, bitmap_ref, out_ref, *, m, bits, n_starts, rb):
+def _pad_guard_2d(t32: jnp.ndarray, m: int, sigma: int) -> jnp.ndarray:
+    """(rb, 128) int32 1 iff the window holds only real chars (< sigma).
+
+    Required on exact-tier paths: the distribution layer pads shards/halos
+    with the out-of-alphabet symbol sigma, and for power-of-two sigma the
+    packed id of a pad-contaminated window ALIASES a real window id (the
+    pad's extra bit bleeds into the neighboring char field) — with no
+    verification stage to reject it (ops/keys.py:max_keys)."""
+    mx = keys_mod.max_keys(t32, m)[:, :LANES]
+    return (mx < sigma).astype(jnp.int32)
+
+
+def _exact_kernel(tile_ref, bitmap_ref, out_ref, *, m, bits, sigma,
+                  n_starts, rb, guard):
     t32 = tile_ref[:, :LANES + m - 1].astype(jnp.int32)
     keys = _wid_keys_2d(t32, m, bits)
     hit = _bitmap_lookup(bitmap_ref, keys, rb)
+    if guard:                       # shard/halo pad can alias real ids
+        hit = hit & _pad_guard_2d(t32, m, sigma)
     hit = jnp.where(_window_positions(rb) < n_starts, hit, 0)
     s = jnp.sum(hit, dtype=jnp.int32)
 
@@ -134,10 +116,11 @@ def _exact_kernel(tile_ref, bitmap_ref, out_ref, *, m, bits, n_starts, rb):
     out_ref[0, 0] += s
 
 
-def _exact_mask_kernel(tile_ref, bitmap_ref, mask_ref, *, m, bits, n_starts, rb):
+def _exact_mask_kernel(tile_ref, bitmap_ref, mask_ref, *, m, bits, sigma,
+                       n_starts, rb):
     t32 = tile_ref[:, :LANES + m - 1].astype(jnp.int32)
     keys = _wid_keys_2d(t32, m, bits)
-    hit = _bitmap_lookup(bitmap_ref, keys, rb)
+    hit = _bitmap_lookup(bitmap_ref, keys, rb) & _pad_guard_2d(t32, m, sigma)
     hit = jnp.where(_window_positions(rb) < n_starts, hit, 0)
     mask_ref[:] = hit.astype(jnp.int8)
 
@@ -152,7 +135,7 @@ def exact_mask_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
     R = tile.shape[0]
     kern = functools.partial(_exact_mask_kernel, m=m,
                              bits=_bits_per_char(sigma),
-                             n_starts=n_starts, rb=rb)
+                             sigma=sigma, n_starts=n_starts, rb=rb)
     return pl.pallas_call(
         kern,
         grid=(R // rb,),
@@ -179,17 +162,24 @@ def _filter_kernel(tile_ref, *refs, m, n_stages, n_starts, rb):
     mask_ref[:] = cand.astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "sigma", "n", "rb", "interpret"))
+@functools.partial(jax.jit, static_argnames=("m", "sigma", "n", "rb",
+                                             "guard", "interpret"))
 def exact_count_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
                        sigma: int, n: int, rb: int = DEFAULT_RB,
+                       guard: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
-    """Exact window-id count (sigma^m <= 2^16). bitmap: (16, 128) int32."""
+    """Exact window-id count (sigma^m <= 2^16). bitmap: (16, 128) int32.
+
+    guard=True masks pad-contaminated windows (required when the text may
+    contain the out-of-alphabet symbol sigma, i.e. distribution shards
+    with sigma-filled halos/tails — see _pad_guard_2d)."""
     if n < m:
         return jnp.int32(0)
     tile, n_starts = overlap_rows(text, n, m, rb)
     R = tile.shape[0]
     kern = functools.partial(_exact_kernel, m=m, bits=_bits_per_char(sigma),
-                             n_starts=n_starts, rb=rb)
+                             sigma=sigma, n_starts=n_starts, rb=rb,
+                             guard=guard)
     out = pl.pallas_call(
         kern,
         grid=(R // rb,),

@@ -34,7 +34,10 @@ class DistributedCounter:
     """Wrap a single-device traceable count core into a mesh-distributed one.
 
     core_fn(local_text_with_halo) -> int32 count over starts
-    [0, len - m + 1) of its argument.  Must be shard_map-traceable.
+    [0, len - m + 1) of its argument, or (count, overflow) — the overflow
+    flag (candidate-cap truncation in the sparse-verify paths) rides the
+    psum so a distributed scan raises instead of silently undercounting.
+    Must be shard_map-traceable.
     """
 
     def __init__(self, core_fn, mesh, *, m: int, sigma: int, axis: str = DATA_AXIS):
@@ -56,7 +59,9 @@ class DistributedCounter:
                 ext = jnp.concatenate([local, recv])
             else:
                 ext = local
-            return jax.lax.psum(core_fn(ext), axis)
+            res = core_fn(ext)
+            c, o = res if isinstance(res, tuple) else (res, jnp.int32(0))
+            return jax.lax.psum(jnp.stack([jnp.int32(c), jnp.int32(o)]), axis)
 
         # check_vma=False: engine cores initialize lax.scan carries with
         # fresh (unvarying) zeros, which is sound here — every device runs
@@ -72,4 +77,8 @@ class DistributedCounter:
             sharded, _ = shard_text(text, self.mesh, sigma=self.sigma, axis=self.axis)
         else:
             sharded = text
-        return int(self._fn(sharded))
+        co = np.asarray(self._fn(sharded))
+        if co[1]:
+            raise OverflowError(
+                "candidate cap exceeded on some shard; raise cap=/row_slots=")
+        return int(co[0])
