@@ -52,3 +52,25 @@ def test_positions_short_text():
         datagen.generate_text(100, ab, seed=1), 4, 8, ab, seed=2)
     eng = make_fast(pats, backend="pallas", interpret=True)
     assert eng.positions(np.zeros(3, np.uint8)).size == 0
+
+
+def test_engine_positions_via_fastpath():
+    from tpu_smatcher.engines import make_engine
+    ab = Alphabet.dna()
+    text = datagen.generate_text(40_000, ab, seed=35)
+    pats = datagen.generate_patterns(text, 40, 8, ab, frac_present=0.6, seed=36)
+    want = _positions_oracle(text, pats)
+    for name in ("ac", "wm", "sog8"):
+        eng = make_engine(name, pats, interpret=True)
+        np.testing.assert_array_equal(eng.positions(text), want)
+
+
+def test_engine_positions_fp_tier():
+    from tpu_smatcher.engines import make_engine
+    ab = Alphabet.protein()
+    text = datagen.generate_text(40_000, ab, seed=37)
+    pats = datagen.generate_patterns(text, 40, 32, ab, frac_present=0.6, seed=38)
+    want = _positions_oracle(text, pats)
+    for name in ("sh", "wm"):
+        eng = make_engine(name, pats, interpret=True)
+        np.testing.assert_array_equal(eng.positions(text), want)

@@ -148,6 +148,10 @@ class ACScanner:
         return int(ac_count_q(text, self.tq, sig_p=self.sig_p, m=self.m,
                               lanes=self.lanes, n=n, q=self.q, cbits=self.cbits))
 
+    def positions(self, text):
+        from tpu_smatcher.ops.common import fastpath_positions
+        return fastpath_positions(self, text)
+
     def core(self, ext: jnp.ndarray) -> jnp.ndarray:
         """Traceable per-shard count (for shard_map distribution)."""
         return ac_count_core(ext, self.dp, sig_p=self.sig_p, m=self.m,

@@ -26,6 +26,15 @@ def active_fastpath(scanner):
     return None
 
 
+def fastpath_positions(scanner, text):
+    """Match start positions via the engine's Pallas fast path."""
+    fp = active_fastpath(scanner)
+    if fp is None:
+        raise NotImplementedError(
+            "positions() requires the TPU fast path (or interpret mode)")
+    return fp.positions(text)
+
+
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 

@@ -31,7 +31,8 @@ from tpu_smatcher.automata.sbom import SBOMTables
 from tpu_smatcher.automata.wu import WMTables
 from tpu_smatcher.automata.sog import SOGTables, SOG_B
 from tpu_smatcher.automata.verify import VerifyTables
-from tpu_smatcher.ops.common import active_fastpath, pad_col, tiled_count, verify_starts
+from tpu_smatcher.ops.common import (active_fastpath, fastpath_positions,
+                                     pad_col, tiled_count, verify_starts)
 
 DEFAULT_TILE = 1 << 20
 
@@ -200,6 +201,9 @@ class WMScanner:
                             sigma=self.sigma, m=self.m, lmax=self.lmax,
                             tile=self.tile, n=int(text.shape[0])))
 
+    def positions(self, text):
+        return fastpath_positions(self, text)
+
     def core(self, ext):
         return wm_count_core(ext, self.shift_ext, self.packed, self.bucket_ids,
                              sigma=self.sigma, m=self.m, lmax=self.lmax, tile=self.tile)
@@ -221,6 +225,9 @@ class SOGScanner:
                              sigma=self.sigma, m=self.m, lmax=self.lmax,
                              tile=self.tile, n=int(text.shape[0])))
 
+    def positions(self, text):
+        return fastpath_positions(self, text)
+
     def core(self, ext):
         return sog_count_core(ext, self.t_table, self.packed, self.bucket_ids,
                               sigma=self.sigma, m=self.m, lmax=self.lmax, tile=self.tile)
@@ -239,6 +246,9 @@ class SHScanner:
         text = jnp.asarray(text, jnp.uint8)
         return int(sh_count(text, self.trans, self.final, sigma=self.sigma,
                             m=self.m, tile=self.tile, n=int(text.shape[0])))
+
+    def positions(self, text):
+        return fastpath_positions(self, text)
 
     def core(self, ext):
         return sh_count_core(ext, self.trans, self.final,
@@ -261,6 +271,9 @@ class SBOMScanner:
         return int(sbom_count(text, self.trans, self.final_count, self.packed,
                               self.bucket_ids, sigma=self.sigma, m=self.m,
                               lmax=self.lmax, tile=self.tile, n=int(text.shape[0])))
+
+    def positions(self, text):
+        return fastpath_positions(self, text)
 
     def core(self, ext):
         return sbom_count_core(ext, self.trans, self.final_count, self.packed,

@@ -264,3 +264,34 @@ class EngineFastPath:
         """Traceable per-shard (count, overflow) for shard_map distribution
         (parallel/dist.py psums both and raises on overflow)."""
         return self._count_impl(ext, guard=True)
+
+    def positions(self, text) -> np.ndarray:
+        """Sorted start positions of all matching windows (cap-bounded)."""
+        from tpu_smatcher.ops.fast import verify_matched_at
+        text = jnp.asarray(text, jnp.uint8)
+        n = int(text.shape[0])
+        ft = self.ft
+        if n < self.m:
+            return np.empty((0,), np.int64)
+        stages, tables, exact = self._stages(n)
+        mask2d = _run_stages(text, stages, tables, m=self.m, sigma=self.sigma,
+                             n=n, count_mode=False, interpret=self.interpret)
+        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap,
+                               row_slots=self.row_slots)
+        if exact:
+            pos = np.asarray(idxs)
+            if bool(np.asarray(o)):
+                raise OverflowError(
+                    "match count exceeds limits; raise cap=/row_slots=")
+            return np.sort(pos[pos >= 0]).astype(np.int64)
+        tw = words_view_pallas(text, nw=words_len(n, ft.words),
+                               interpret=self.interpret)
+        matched = verify_matched_at(
+            tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2, m=ft.m,
+            words=ft.words, lmax=ft.lmax, eb=ft.eb, n_starts=n - ft.m + 1,
+            slot_ok=ft.slot_ok)
+        if bool(np.asarray(o)):
+            raise OverflowError(
+                "candidate cap exceeded; raise cap=/row_slots=")
+        pos = np.asarray(idxs)[np.asarray(matched)]
+        return np.sort(pos[pos >= 0]).astype(np.int64)
