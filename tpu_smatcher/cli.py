@@ -139,23 +139,43 @@ def run_engine(name, text, pats, args):
                                        tile=args.tile)
     elif args.tables:
         from tpu_smatcher.core.checkpoint import load_tables
+        from tpu_smatcher.engines import attach_fastpath
         opts = {"backend": args.backend} if name == "fast" else {}
         scanner = make_engine_from_tables(
             name, load_tables(args.tables),
             lanes=args.lanes,
             tile=args.tile if name != "fast" else 1 << 24, **opts)
+        if name != "fast":               # production Pallas path on TPU
+            attach_fastpath(scanner, name, pats.codes, pats.sigma)
+    elif args.save_tables:
+        # build once, save, construct from the same tables (no rebuild)
+        from tpu_smatcher.core.checkpoint import save_tables
+        from tpu_smatcher.engines import attach_fastpath, build_tables
+        tables = build_tables(name, pats)
+        path = args.save_tables
+        if args.algo == "all":           # one file per engine, not overwrite
+            base = path[:-4] if path.endswith(".npz") else path
+            path = f"{base}.{name}.npz"
+        save_tables(path, tables)
+        opts = {"backend": args.backend} if name == "fast" else {}
+        scanner = make_engine_from_tables(
+            name, tables, lanes=args.lanes,
+            tile=args.tile if name != "fast" else 1 << 24, **opts)
+        if name != "fast":
+            attach_fastpath(scanner, name, pats.codes, pats.sigma)
     elif name == "fast":
         scanner = make_fast(pats, backend=args.backend)
     else:
         scanner = make_engine(name, pats, lanes=args.lanes, tile=args.tile)
     t_build = time.time() - t0
 
-    if args.save_tables and args.devices == 1 and not args.tables:
-        from tpu_smatcher.core.checkpoint import save_tables
-        from tpu_smatcher.engines import build_tables
-        save_tables(args.save_tables, build_tables(name, pats))
-
-    tdev = jax.device_put(jnp.asarray(text)) if args.devices == 1 else text
+    if args.devices == 1:
+        tdev = jax.device_put(jnp.asarray(text))
+    else:
+        # shard once before timing (re-sharding per rep would time the
+        # host->device transfer, not the scan)
+        from tpu_smatcher.parallel.mesh import shard_text
+        tdev, _ = shard_text(text, scanner.mesh, sigma=pats.sigma)
     t0 = time.time()
     count = scanner.count(tdev)
     t_first = time.time() - t0           # includes compile
@@ -172,10 +192,14 @@ def run_engine(name, text, pats, args):
                 times.append(time.time() - t0)
         t_scan = min(times)
     if args.positions and name == "fast" and args.devices == 1:
-        pos = scanner.positions(tdev)
-        np.save(args.positions, pos)
-        if not args.json:
-            print(f"[fast ] {pos.size} match positions -> {args.positions}")
+        try:
+            pos = scanner.positions(tdev)
+        except NotImplementedError as e:
+            print(f"--positions skipped: {e}", file=sys.stderr)
+        else:
+            np.save(args.positions, pos)
+            if not args.json:
+                print(f"[fast ] {pos.size} match positions -> {args.positions}")
 
     return {
         "engine": name,
@@ -206,6 +230,7 @@ def main(argv=None):
                   f"scan {r['time_scan_s']*1e3:.1f}ms  "
                   f"({r['bytes_per_s']/1e9:.3f} GB/s)", flush=True)
 
+    exit_code = 0
     if args.algo == "all":
         counts = {r["matches"] for r in results}
         agree = len(counts) == 1
@@ -213,18 +238,24 @@ def main(argv=None):
             print("cross-check:", "ALL ENGINES AGREE" if agree
                   else f"MISMATCH {sorted(counts)}")
         if not agree:
-            sys.exit(2)
+            exit_code = 2
 
     if args.verify:
         from tpu_smatcher.core import datagen
         truth = datagen.count_matches(text, pats)
         ok = all(r["matches"] == truth for r in results)
+        for r in results:
+            r["ground_truth"] = int(truth)
         if not args.json:
             print(f"ground truth: {truth} -> {'OK' if ok else 'FAILED'}")
-        if not ok:
-            sys.exit(3)
+        if not ok and not exit_code:
+            exit_code = 3
 
+    # always emit the JSON result line — on disagreement it carries the
+    # per-engine counts a consumer needs to diagnose; exit code still signals
     print(json.dumps(results if len(results) > 1 else results[0]))
+    if exit_code:
+        sys.exit(exit_code)
 
 
 if __name__ == "__main__":

@@ -4,9 +4,10 @@ Replaces the reference's hard-coded ``n -> data file`` table
 (``/root/reference/main.c:32-123``, ``select_data_file``) and the missing
 ``load_files`` helper with explicit loading: raw pre-encoded files (like the
 reference's data-cuda-multi corpora), ASCII/FASTA files encoded through an
-Alphabet, and synthetic corpora.  Also provides per-host offset loading so a
-multi-host run never materializes the full text on one host (the reference's
-rank-0 ``textFull`` load, ``main.c:386,453``, does — a scaling bug we avoid).
+Alphabet, and synthetic corpora.  Per-host offset loading
+lives in parallel/multihost.py (load_corpus_shards), so a multi-host run
+never materializes the full text on one host (the reference's rank-0
+``textFull`` load, ``main.c:386,453``, does — a scaling bug we avoid).
 """
 
 from __future__ import annotations
@@ -70,22 +71,3 @@ def load_fasta(path: str, alphabet: Alphabet, name: str = "") -> Corpus:
                 continue
             chunks.append(b"".join(line.split()))
     return Corpus(alphabet.encode(b"".join(chunks)), alphabet, name)
-
-
-def load_shard(path: str, alphabet: Alphabet, shard: int, num_shards: int,
-               halo: int) -> tuple[np.ndarray, int]:
-    """Load only this host's byte range ``[shard*chunk, (shard+1)*chunk + halo)``
-    of a pre-encoded file (clamped to EOF), mirroring the reference's
-    displacement math (``main.c:463-477``) without a rank-0 full read.
-
-    Returns (encoded shard, global start offset)."""
-    size = os.path.getsize(path)
-    chunk = -(-size // num_shards)  # ceil
-    start = shard * chunk
-    stop = min(size, (shard + 1) * chunk + halo)
-    if start >= size:
-        return np.zeros(0, np.uint8), start
-    with open(path, "rb") as f:
-        f.seek(start)
-        raw = f.read(stop - start)
-    return alphabet.encode(raw), start

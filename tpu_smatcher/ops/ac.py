@@ -140,6 +140,7 @@ class ACScanner:
         fp = active_fastpath(self)
         if fp is not None:
             return fp.count(text)
+        self._check_pad()
         text = jnp.asarray(text, jnp.uint8)
         n = int(text.shape[0])
         if self.q == 1:
@@ -154,10 +155,20 @@ class ACScanner:
 
     def core(self, ext: jnp.ndarray) -> jnp.ndarray:
         """Traceable per-shard count (for shard_map distribution)."""
+        self._check_pad()
         return ac_count_core(ext, self.dp, sig_p=self.sig_p, m=self.m,
                              lanes=self.lanes)
 
+    def _check_pad(self):
+        if self.sig_p > 256:
+            raise ValueError(
+                "the jnp AC scan pads lane halos with the out-of-alphabet "
+                "symbol sigma, which does not fit uint8 for sigma=256; use "
+                "the TPU fast path (or the shared fast engine) for the byte "
+                "alphabet")
+
     def match_ends(self, text) -> np.ndarray:
+        self._check_pad()
         text = jnp.asarray(text, jnp.uint8)
         n = int(text.shape[0])
         return np.asarray(ac_match_ends(text, self.dp, sig_p=self.sig_p,

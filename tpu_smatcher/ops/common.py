@@ -95,16 +95,21 @@ def verify_starts(chunk: jnp.ndarray, cand: jnp.ndarray, *, packed: jnp.ndarray,
 
 def tiled_count(per_tile, text: jnp.ndarray, n: int, *, tile: int, m: int,
                 sigma: int) -> jnp.ndarray:
-    """Sum per_tile(chunk) over tiles of `tile` owned starts each.
+    """Sum per_tile(chunk, limit) over tiles of `tile` owned starts each.
 
-    per_tile receives a (tile + m - 1,) chunk and must return the int32 count
-    over its first `tile` window starts.  Text is right-padded with sigma."""
+    per_tile receives a (tile + m - 1,) chunk plus the number of VALID starts
+    in it (windows beyond `limit` overlap this function's own tail padding
+    and must not count — positional masking, not a pad sentinel, so it also
+    holds for sigma=256 where no out-of-alphabet uint8 value exists)."""
     num_tiles = max(1, cdiv(max(n - m + 1, 1), tile))
     padded_len = num_tiles * tile + m - 1
-    padded = jnp.full((padded_len,), sigma, jnp.uint8).at[:n].set(text[:n])
+    pad_sym = min(sigma, 255)
+    padded = jnp.full((padded_len,), pad_sym, jnp.uint8).at[:n].set(text[:n])
+    n_valid_total = max(n - m + 1, 0)
 
     def body(i, acc):
         chunk = jax.lax.dynamic_slice(padded, (i * tile,), (tile + m - 1,))
-        return acc + per_tile(chunk)
+        limit = jnp.clip(n_valid_total - i * tile, 0, tile)
+        return acc + per_tile(chunk, limit)
 
     return jax.lax.fori_loop(0, num_tiles, body, jnp.int32(0))

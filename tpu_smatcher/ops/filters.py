@@ -41,6 +41,10 @@ def _slice(chunk, off, size):
     return jax.lax.dynamic_slice(chunk, (off,), (size,))
 
 
+def _starts_iota(tile: int):
+    return jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0).reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # Wu-Manber
 # ---------------------------------------------------------------------------
@@ -53,12 +57,12 @@ def wm_count_core(text, shift_ext, packed, bucket_ids_flat, *, sigma, m, lmax, t
         return jnp.int32(0)
     b = 1 << 2  # reference 2-bit block hash (wu/wu.c:64-67)
 
-    def per_tile(chunk):
+    def per_tile(chunk, limit):
         c0 = _slice(chunk, m - 3, tile).astype(jnp.int32)
         c1 = _slice(chunk, m - 2, tile).astype(jnp.int32)
         c2 = _slice(chunk, m - 1, tile).astype(jnp.int32)
         h = (c0 * b + c1) * b + c2
-        cand = shift_ext[h] == 0
+        cand = (shift_ext[h] == 0) & (_starts_iota(tile) < limit)
         matched = verify_starts(chunk, cand, packed=packed,
                                 bucket_ids_flat=bucket_ids_flat,
                                 lmax=lmax, sigma=sigma, m=m)
@@ -84,7 +88,7 @@ def sog_count_core(text, t_table, packed, bucket_ids_flat, *, sigma, m, lmax, ti
     if n < m:
         return jnp.int32(0)
 
-    def per_tile(chunk):
+    def per_tile(chunk, limit):
         L = chunk.shape[0]                     # tile + m - 1
         n_grams = L - 2
         g = (_slice(chunk, 0, n_grams).astype(jnp.int32)
@@ -95,7 +99,7 @@ def sog_count_core(text, t_table, packed, bucket_ids_flat, *, sigma, m, lmax, ti
         for i in range(m - SOG_B + 1):
             acc = acc | ((jax.lax.dynamic_slice(v, (i,), (tile,)) >> np.uint32(i))
                          & np.uint32(1))
-        cand = acc == 0
+        cand = (acc == 0) & (_starts_iota(tile) < limit)
         matched = verify_starts(chunk, cand, packed=packed,
                                 bucket_ids_flat=bucket_ids_flat,
                                 lmax=lmax, sigma=sigma, m=m)
@@ -140,9 +144,10 @@ def sh_count_core(text, trans_flat, final, *, sigma, m, tile):
         return jnp.int32(0)
     sig_p = sigma + 1
 
-    def per_tile(chunk):
+    def per_tile(chunk, limit):
         state, _ = _backward_walk(chunk, trans_flat, sig_p, m, tile)
-        return jnp.sum(final[state], dtype=jnp.int32)
+        valid = _starts_iota(tile) < limit
+        return jnp.sum(jnp.where(valid, final[state], 0), dtype=jnp.int32)
 
     return tiled_count(per_tile, text, n, tile=tile, m=m, sigma=sigma)
 
@@ -159,9 +164,9 @@ def sbom_count_core(text, trans_flat, final_count, packed, bucket_ids_flat, *,
         return jnp.int32(0)
     sig_p = sigma + 1
 
-    def per_tile(chunk):
+    def per_tile(chunk, limit):
         state, alive = _backward_walk(chunk, trans_flat, sig_p, m, tile)
-        cand = alive & (final_count[state] > 0)
+        cand = alive & (final_count[state] > 0) & (_starts_iota(tile) < limit)
         matched = verify_starts(chunk, cand, packed=packed,
                                 bucket_ids_flat=bucket_ids_flat,
                                 lmax=lmax, sigma=sigma, m=m)

@@ -41,6 +41,10 @@ class DistributedCounter:
     """
 
     def __init__(self, core_fn, mesh, *, m: int, sigma: int, axis: str = DATA_AXIS):
+        if sigma >= 256:
+            raise ValueError(
+                "distributed scans need an out-of-alphabet uint8 pad symbol; "
+                "sigma must be <= 255")
         self.mesh = mesh
         self.m = m
         self.sigma = sigma
@@ -77,6 +81,12 @@ class DistributedCounter:
             sharded, _ = shard_text(text, self.mesh, sigma=self.sigma, axis=self.axis)
         else:
             sharded = text
+        per = sharded.shape[0] // self.mesh.shape[self.axis]
+        if per < self.m - 1:
+            raise ValueError(
+                f"shard size {per} < m-1 = {self.m - 1}: the one-hop halo "
+                "exchange cannot cover a window; use fewer devices or a "
+                "longer text")
         co = np.asarray(self._fn(sharded))
         if co[1]:
             raise OverflowError(

@@ -32,6 +32,11 @@ def shard_text(text: np.ndarray, mesh: Mesh, *, sigma: int,
     with the out-of-alphabet symbol (pad windows can never match).
 
     Returns (sharded array, original length)."""
+    if sigma >= 256:
+        raise ValueError(
+            "distributed scans need an out-of-alphabet uint8 pad symbol; "
+            "sigma must be <= 255 (got 256: the byte alphabet's pad would "
+            "wrap to the real symbol 0)")
     k = mesh.shape[axis]
     n = len(text)
     per = -(-max(n, 1) // k)

@@ -45,7 +45,9 @@ def init_distributed(coordinator_address: str | None = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except RuntimeError as e:               # already initialized
-        if "already" not in str(e).lower():
+        # jax raises "distributed.initialize should only be called once."
+        msg = str(e).lower()
+        if "once" not in msg and "already" not in msg:
             raise
 
 
@@ -57,6 +59,10 @@ def load_corpus_shards(path: str, mesh: Mesh, *, sigma: int,
     The file must hold pre-encoded codes (bytes < sigma).  Shards are
     right-padded with the out-of-alphabet symbol `sigma` (pad windows can
     never match).  Returns (global sharded array, corpus length)."""
+    if sigma >= 256:
+        raise ValueError(
+            "distributed scans need an out-of-alphabet uint8 pad symbol; "
+            "sigma must be <= 255")
     file_n = os.path.getsize(path)
     if n is None:
         n = file_n
