@@ -39,7 +39,8 @@ from tpu_smatcher.automata.verify import pack_rows
 
 BITMAP_BITS = 1 << 16
 #: fingerprint multipliers per stage (odd => invertible mod 2^16)
-FP_MULTS = (0x9E37, 0x6A09, 0xB2D1, 0x85EB, 0xC2B3)
+FP_MULTS = (0x9E37, 0x6A09, 0xB2D1, 0x85EB, 0xC2B3,
+            0x2545, 0x9B61, 0x6C89, 0x5BD1, 0xA511)
 DEFAULT_TILE = 1 << 24
 DEFAULT_CAP = 1 << 16
 
@@ -75,7 +76,8 @@ class FastTables:
     m: int
     sigma: int
     n_stages: int           # default stage count for fixed-tile (XLA) scans
-    bitmaps: tuple          # len(FP_MULTS) device arrays (16, 128) int32
+    bitmaps: tuple          # len(FP_MULTS) device arrays (B, 128) int32,
+                            # B*4096 = stage_bits (cost: one gather per bank)
     # verification tables (None when exact):
     bucket_ids: object      # (2^(16+eb) * L,) int32 device, -1 padded
     lmax: int
@@ -86,15 +88,19 @@ class FastTables:
     bucket_fp2: object = None   # (2^(16+eb) * L,) int32: fp2 per slot, -1 pad
     slot_ok: bool = False   # fp2 unique within every bucket -> slot-select
                             # verify (one full compare instead of lmax)
+    stage_bits: int = BITMAP_BITS   # bits per fingerprint-stage bitmap
 
 
 def stages_for(ft: FastTables, n: int, cap: int) -> int:
-    """Stage count so expected false positives over n positions fit well
-    inside the candidate cap: smallest k with n * density^k <= cap / 4."""
+    """Stage count so (a) expected false positives over n positions fit well
+    inside the candidate cap (n * density^k <= cap/4) and (b) the per-row
+    candidate rate stays far below compact_mask's row_slots budget
+    (128 * density^k <= 0.5, i.e. P[Poisson row count > 8] ~ 1e-9)."""
     if ft.exact:
         return 1
     k = 1
-    while (n * ft.density ** k > cap / 4) and k < len(ft.bitmaps):
+    while ((n * ft.density ** k > cap / 4 or ft.density ** k > 1 / 256)
+           and k < len(ft.bitmaps)):
         k += 1
     return k
 
@@ -102,23 +108,29 @@ def stages_for(ft: FastTables, n: int, cap: int) -> int:
 def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None) -> FastTables:
     patterns = np.asarray(patterns, np.uint8)
     if exact_wid_supported(sigma, patterns.shape[1]):
-        bm = pack_bitmap(_wid_keys_np(patterns, sigma), BITMAP_BITS)
-        return FastTables(True, patterns.shape[1], sigma, 1,
+        m0 = patterns.shape[1]
+        nbits = max(4096, 1 << (m0 * _bits_per_char(sigma)))
+        bm = pack_bitmap(_wid_keys_np(patterns, sigma), nbits)
+        return FastTables(True, m0, sigma, 1,
                           (jnp.asarray(bm),), None, 0, None, 0)
     # duplicate patterns cannot change the count (>=1 occurrence per window)
     # and would defeat the per-bucket fp2 uniqueness below — drop them
     patterns = np.unique(patterns, axis=0)
     p, m = patterns.shape
 
-    # all filter stages are built (8 KiB each); scans pick how many to apply
+    # all filter stages are built; scans pick how many to apply.  Stage
+    # bitmaps are sized to the pattern count (cost is one gather per 4096
+    # bits, so small pattern sets use 1-2 banks at slightly higher per-stage
+    # FPR — more stages, far fewer gathers)
+    stage_bits = int(min(BITMAP_BITS, max(4096, 1 << (4 * max(p, 1) - 1).bit_length())))
     bitmaps = []
     fps = []
     for s in range(len(FP_MULTS)):
         keys = _fp_keys_np(patterns, FP_MULTS[s])
         fps.append(keys)
-        bitmaps.append(jnp.asarray(pack_bitmap(keys, BITMAP_BITS)))
+        bitmaps.append(jnp.asarray(pack_bitmap(keys & (stage_bits - 1), stage_bits)))
     density = float(np.count_nonzero(
-        np.unpackbits(np.asarray(bitmaps[0]).view(np.uint8)))) / BITMAP_BITS
+        np.unpackbits(np.asarray(bitmaps[0]).view(np.uint8)))) / stage_bits
 
     if n_stages is None:
         k = 1
@@ -151,7 +163,7 @@ def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None)
     return FastTables(False, m, sigma, n_stages,
                       tuple(bitmaps), jnp.asarray(bucket.reshape(-1)), lmax,
                       jnp.asarray(packed), packed.shape[1], eb, density,
-                      jnp.asarray(bucket_fp2.reshape(-1)), slot_ok)
+                      jnp.asarray(bucket_fp2.reshape(-1)), slot_ok, stage_bits)
 
 
 # ---------------------------------------------------------------------------
@@ -211,14 +223,15 @@ def fast_count_core(text: jnp.ndarray, ft: FastTables, *, tile: int = DEFAULT_TI
             return (count + jnp.sum(jnp.where(valid_e, hit, 0), dtype=jnp.int32),
                     overflow)
 
+        smask = ft.stage_bits - 1
         fp0 = _fp_keys(chunk, tile, m, FP_MULTS[0])
         fp1 = None
-        cand = bitmap_test(ft.bitmaps[0], fp0) == 1
+        cand = bitmap_test(ft.bitmaps[0], fp0 & smask) == 1
         for s in range(1, ft.n_stages):
             fps = _fp_keys(chunk, tile, m, FP_MULTS[s])
             if s == 1:
                 fp1 = fps
-            cand &= bitmap_test(ft.bitmaps[s], fps) == 1
+            cand &= bitmap_test(ft.bitmaps[s], fps & smask) == 1
         if ft.eb and fp1 is None:
             fp1 = _fp_keys(chunk, tile, m, FP_MULTS[1])
         cand &= valid

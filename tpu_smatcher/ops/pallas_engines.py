@@ -77,6 +77,9 @@ def _stage_hit(kind, params, ref, t32, rb):
     if kind == "fp":                       # polynomial fingerprint bitmap
         m, mult = params
         keys = _fp_keys_2d(t32[:, :LANES + m - 1], m, mult)
+        sbits = ref.shape[0] * 4096
+        if sbits < (1 << 16):
+            keys = keys & (sbits - 1)
         return _bitmap_lookup(ref, keys, rb)
     if kind == "wm":                       # SHIFT[hash(last 3 chars)] == 0
         (m,) = params

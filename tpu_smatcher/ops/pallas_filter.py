@@ -68,14 +68,21 @@ def _window_positions(rb: int):
 
 
 def _bitmap_lookup(bitmap_ref, keys: jnp.ndarray, rb: int) -> jnp.ndarray:
-    """keys: (rb, 128) int32 in [0, 65536). Returns bit values (rb, 128)."""
+    """keys: (rb, 128) int32 in [0, B*4096) for a (B, 128) int32 bitmap.
+    Returns bit values (rb, 128).  Cost scales with B (one lane-gather +
+    select per 4096-bit bank), so bitmaps are sized to their key space."""
+    B = bitmap_ref.shape[0]
     lane = (keys >> 5) & 127
-    bank = keys >> 12
-    acc = jnp.zeros_like(lane)
-    for b in range(16):
-        tab = jnp.broadcast_to(bitmap_ref[b][None, :], (rb, LANES))
-        v = jnp.take_along_axis(tab, lane, axis=1)
-        acc = jnp.where(bank == b, v, acc)
+    if B == 1:
+        tab = jnp.broadcast_to(bitmap_ref[0][None, :], (rb, LANES))
+        acc = jnp.take_along_axis(tab, lane, axis=1)
+    else:
+        bank = keys >> 12
+        acc = jnp.zeros_like(lane)
+        for b in range(B):
+            tab = jnp.broadcast_to(bitmap_ref[b][None, :], (rb, LANES))
+            v = jnp.take_along_axis(tab, lane, axis=1)
+            acc = jnp.where(bank == b, v, acc)
     return (acc >> (keys & 31)) & 1
 
 
@@ -141,7 +148,7 @@ def exact_mask_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
         grid=(R // rb,),
         in_specs=[
             pl.BlockSpec((rb, ROW_BYTES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bitmap.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, LANES), jnp.int8),
@@ -156,6 +163,9 @@ def _filter_kernel(tile_ref, *refs, m, n_stages, n_starts, rb):
     cand = None
     for s in range(n_stages):
         keys = _fp_keys_2d(t32, m, FP_MULTS[s])
+        sbits = bitmap_refs[s].shape[0] * 4096
+        if sbits < (1 << 16):
+            keys = keys & (sbits - 1)
         hit = _bitmap_lookup(bitmap_refs[s], keys, rb)
         cand = hit if cand is None else (cand & hit)
     cand = jnp.where(_window_positions(rb) < n_starts, cand, 0)
@@ -185,7 +195,7 @@ def exact_count_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
         grid=(R // rb,),
         in_specs=[
             pl.BlockSpec((rb, ROW_BYTES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bitmap.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
@@ -248,7 +258,8 @@ def filter_mask_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
         kern,
         grid=(R // rb,),
         in_specs=[pl.BlockSpec((rb, ROW_BYTES), lambda i: (i, 0), memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec((16, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)] * n_stages,
+        + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for b in bitmaps],
         out_specs=pl.BlockSpec((rb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, LANES), jnp.int8),
         interpret=interpret,
