@@ -122,7 +122,10 @@ def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None)
     # bitmaps are sized to the pattern count (cost is one gather per 4096
     # bits, so small pattern sets use 1-2 banks at slightly higher per-stage
     # FPR — more stages, far fewer gathers)
-    stage_bits = int(min(BITMAP_BITS, max(4096, 1 << (4 * max(p, 1) - 1).bit_length())))
+    # pow2ceil(2p): with MXU-computed keys the per-stage key cost is small,
+    # so fewer banks (one gather each) at higher per-stage FPR + more stages
+    # minimizes total gathers (k(B)*(key_cost + B*gather_cost))
+    stage_bits = int(min(BITMAP_BITS, max(4096, 1 << (2 * max(p, 1) - 1).bit_length())))
     bitmaps = []
     fps = []
     for s in range(len(FP_MULTS)):

@@ -41,8 +41,9 @@ from tpu_smatcher.ops.fast import (
     compact_mask, stages_for, verify_at, words_len)
 from tpu_smatcher.ops.lookup import pack_bitmap
 from tpu_smatcher.ops.pallas_filter import (
-    LANES, ROW_BYTES, FILTER_RB, _bitmap_lookup, _fp_keys_2d, _wid_keys_2d,
-    _window_positions, overlap_rows, words_view_pallas)
+    LANES, ROW_BYTES, FILTER_RB, _bitmap_lookup, _fp_keys_mxu,
+    _wid_keys_2d, _window_positions, fp_weights, overlap_rows,
+    words_view_pallas)
 
 
 def _value_lookup(table_ref, idx: jnp.ndarray, rb: int) -> jnp.ndarray:
@@ -75,12 +76,11 @@ def _stage_hit(kind, params, ref, t32, rb):
         keys = _wid_keys_2d(t32[:, off:off + LANES + d - 1], d, bits)
         return _bitmap_lookup(ref, keys, rb)
     if kind == "fp":                       # polynomial fingerprint bitmap
-        m, mult = params
-        keys = _fp_keys_2d(t32[:, :LANES + m - 1], m, mult)
-        sbits = ref.shape[0] * 4096
-        if sbits < (1 << 16):
-            keys = keys & (sbits - 1)
-        return _bitmap_lookup(ref, keys, rb)
+        bitmap_ref, w_ref = ref            # keys on the MXU (pallas_filter)
+        t_bf = t32.astype(jnp.bfloat16)
+        sbits = bitmap_ref.shape[0] * 4096
+        keys = _fp_keys_mxu(t_bf, w_ref, sbits - 1)
+        return _bitmap_lookup(bitmap_ref, keys, rb)
     if kind == "wm":                       # SHIFT[hash(last 3 chars)] == 0
         (m,) = params
         # 2-bit block hash, multiply-add form (matches automata/wu.py and
@@ -105,12 +105,19 @@ def _stage_hit(kind, params, ref, t32, rb):
 
 def _stages_kernel(tile_ref, *refs, stages, m, sigma, n_starts, rb,
                    count_mode, guard):
-    out_ref = refs[len(stages)]
     t32 = tile_ref[:].astype(jnp.int32)
     hit = None
-    for i, (kind, params) in enumerate(stages):
-        h = _stage_hit(kind, params, refs[i], t32, rb)
+    ri = 0
+    for kind, params in stages:
+        if kind == "fp":                  # consumes (bitmap, mxu weights)
+            ref = (refs[ri], refs[ri + 1])
+            ri += 2
+        else:
+            ref = refs[ri]
+            ri += 1
+        h = _stage_hit(kind, params, ref, t32, rb)
         hit = h if hit is None else (hit & h)
+    out_ref = refs[ri]
     if count_mode and guard:
         # counted without verification: mask pad-contaminated windows, whose
         # packed ids can alias real ones (pallas_filter._pad_guard_2d)
@@ -227,6 +234,7 @@ class EngineFastPath:
         for s in range(k):
             stages.append(("fp", (self.m, FP_MULTS[s])))
             tables.append(ft.bitmaps[s])
+            tables.append(fp_weights(FP_MULTS[s], self.m))
         return stages, tables, False
 
     def _count_impl(self, ext, guard=False):

@@ -156,16 +156,43 @@ def exact_mask_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
     )(tile, bitmap)
 
 
+@functools.lru_cache(maxsize=None)
+def fp_weights(mult: int, m: int):
+    """(512, 128) bf16 banded-matmul weights computing the stage fingerprint
+    on the MXU: rows [0,256) hold the low bytes of mult^(c-l) on the band
+    c-l in [0, m), rows [256,512) the high bytes.
+
+    fp[r,l] = sum_i t[r,l+i]*mult^i = (t @ Wlo) + 256*(t @ Whi) mod 2^16.
+    All weight/char values are integers <= 255 (exact in bf16) and the f32
+    accumulation stays below 2^24 (m <= 129), so the MXU result is EXACT —
+    measured 2.7x faster than the VPU segment-doubling tree
+    (scripts/probe_mxu_keys.py)."""
+    W = np.zeros((256, 128), np.int64)
+    for l in range(LANES):
+        for i in range(m):
+            W[l + i, l] = pow(mult, i, 1 << 16)
+    lo = (W & 0xFF).astype(np.float32)
+    hi = (W >> 8).astype(np.float32)
+    # numpy, not a device array: this is lru_cached and may first be called
+    # under a jit trace (a cached tracer would leak into later traces)
+    return np.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
+
+
+def _fp_keys_mxu(t_bf, w_ref, mask: int) -> jnp.ndarray:
+    lo = jnp.dot(t_bf, w_ref[:256], preferred_element_type=jnp.float32)
+    hi = jnp.dot(t_bf, w_ref[256:], preferred_element_type=jnp.float32)
+    return (lo.astype(jnp.int32) + (hi.astype(jnp.int32) << 8)) & mask
+
+
 def _filter_kernel(tile_ref, *refs, m, n_stages, n_starts, rb):
     bitmap_refs = refs[:n_stages]
-    mask_ref = refs[n_stages]
-    t32 = tile_ref[:, :LANES + m - 1].astype(jnp.int32)
+    w_refs = refs[n_stages:2 * n_stages]
+    mask_ref = refs[2 * n_stages]
+    t_bf = tile_ref[:].astype(jnp.int32).astype(jnp.bfloat16)
     cand = None
     for s in range(n_stages):
-        keys = _fp_keys_2d(t32, m, FP_MULTS[s])
         sbits = bitmap_refs[s].shape[0] * 4096
-        if sbits < (1 << 16):
-            keys = keys & (sbits - 1)
+        keys = _fp_keys_mxu(t_bf, w_refs[s], sbits - 1)
         hit = _bitmap_lookup(bitmap_refs[s], keys, rb)
         cand = hit if cand is None else (cand & hit)
     cand = jnp.where(_window_positions(rb) < n_starts, cand, 0)
@@ -249,9 +276,11 @@ def words_view_pallas(text: jnp.ndarray, *, nw: int, rb: int = DEFAULT_RB,
 def filter_mask_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
                        n_stages: int, rb: int = FILTER_RB,
                        interpret: bool = False) -> jnp.ndarray:
-    """(n_starts,) int8 candidate mask from k fingerprint stages."""
+    """(n_starts,) int8 candidate mask from k fingerprint stages
+    (keys on the MXU, bitmap membership on the VPU)."""
     tile, n_starts = overlap_rows(text, n, m, rb)
     R = tile.shape[0]
+    weights = tuple(fp_weights(FP_MULTS[s], m) for s in range(n_stages))
     kern = functools.partial(_filter_kernel, m=m, n_stages=n_stages,
                              n_starts=n_starts, rb=rb)
     mask = pl.pallas_call(
@@ -259,9 +288,11 @@ def filter_mask_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
         grid=(R // rb,),
         in_specs=[pl.BlockSpec((rb, ROW_BYTES), lambda i: (i, 0), memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-           for b in bitmaps],
+           for b in bitmaps]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in weights],
         out_specs=pl.BlockSpec((rb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, LANES), jnp.int8),
         interpret=interpret,
-    )(tile, *bitmaps)
+    )(tile, *bitmaps, *weights)
     return mask      # (R, 128); invalid positions already zeroed in-kernel
