@@ -1,0 +1,80 @@
+"""Exact kernel without the materialized 2x overlap layout: manual DMA of
+(rb+1, 128) row blocks from HBM, halo row shared, concat in VMEM."""
+import functools, time, sys
+import jax, jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from tpu_smatcher.core.alphabet import Alphabet
+from tpu_smatcher.core import datagen
+from tpu_smatcher.ops.fast import build_fast, _bits_per_char
+from tpu_smatcher.ops import pallas_filter as pf
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+n = 1 << 28
+m = 8
+sigma = 4
+ab = Alphabet.dna()
+text = datagen.generate_text(n, ab, seed=7)
+pats = datagen.generate_patterns(text, 10_000, 8, ab, frac_present=0.5, seed=8)
+ft = build_fast(pats.codes, pats.sigma)
+tdev = jax.device_put(jnp.asarray(text))
+LANES, rb = 128, 512
+
+def timeit(fn, *a, reps=8):
+    v = int(jnp.asarray(fn(*a)).ravel()[0])
+    t0=time.perf_counter(); rs=[fn(*a) for _ in range(reps)]; int(jnp.asarray(rs[-1]).ravel()[0]); t1=time.perf_counter()
+    t0b=time.perf_counter(); fetch=int(jnp.asarray(fn(*a)).ravel()[0]); t1b=time.perf_counter()
+    return ((t1-t0)-(t1b-t0b))/(reps-1), v
+
+# current path
+cur = functools.partial(pf.exact_count_pallas, m=m, sigma=sigma, n=n)
+t, v = timeit(cur, tdev, ft.bitmaps[0])
+print(f"current (overlap_rows): {t*1e3:.1f}ms {n/t/1e9:.2f} GB/s count={v}")
+
+# DMA-overlap path
+n_starts = n - m + 1
+R = -(-n_starts // LANES)
+R = -(-R // rb) * rb
+flat_len = R * LANES + LANES
+bits = _bits_per_char(sigma)
+
+def kern(rows_hbm, bitmap_ref, out_ref, scratch, sem):
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(rows_hbm.at[pl.ds(i * rb, rb + 1), :], scratch, sem)
+    dma.start()
+    dma.wait()
+    main = scratch[:rb, :]
+    ext = scratch[1:rb + 1, :]
+    tile = jnp.concatenate([main, ext], axis=1)      # (rb, 256)
+    t32 = tile[:, :LANES + m - 1].astype(jnp.int32)
+    keys = pf._wid_keys_2d(t32, m, bits)
+    hit = pf._bitmap_lookup(bitmap_ref, keys, rb)
+    hit = jnp.where(pf._window_positions(rb) < n_starts, hit, 0)
+    s = jnp.sum(hit, dtype=jnp.int32)
+    @pl.when(i == 0)
+    def _():
+        out_ref[0, 0] = 0
+    out_ref[0, 0] += s
+
+@functools.partial(jax.jit)
+def run(text, bitmap):
+    padded = jnp.zeros((flat_len,), jnp.uint8).at[:n].set(text[:n])
+    rows = padded.reshape(-1, LANES)                 # (R+1, 128)
+    return pl.pallas_call(
+        kern,
+        grid=(R // rb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(bitmap.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rb + 1, LANES), jnp.uint8),
+                        pltpu.SemaphoreType.DMA(())],
+    )(rows, bitmap)[0, 0]
+
+try:
+    t, v2 = timeit(run, tdev, ft.bitmaps[0])
+    print(f"DMA overlap:           {t*1e3:.1f}ms {n/t/1e9:.2f} GB/s count={v2} {'OK' if v2==v else 'WRONG'}")
+except Exception as e:
+    print("DMA FAIL:", str(e)[:300])
