@@ -37,12 +37,13 @@ print(f"current (overlap_rows): {t*1e3:.1f}ms {n/t/1e9:.2f} GB/s count={v}")
 n_starts = n - m + 1
 R = -(-n_starts // LANES)
 R = -(-R // rb) * rb
-flat_len = R * LANES + LANES
+PAD_ROWS = 32
+flat_len = R * LANES + PAD_ROWS * LANES
 bits = _bits_per_char(sigma)
 
 def kern(rows_hbm, bitmap_ref, out_ref, scratch, sem):
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(rows_hbm.at[pl.ds(i * rb, rb + 1), :], scratch, sem)
+    dma = pltpu.make_async_copy(rows_hbm.at[pl.ds(i * rb, rb + PAD_ROWS), :], scratch, sem)
     dma.start()
     dma.wait()
     main = scratch[:rb, :]
@@ -69,7 +70,7 @@ def run(text, bitmap):
                   pl.BlockSpec(bitmap.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((rb + 1, LANES), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((rb + PAD_ROWS, LANES), jnp.uint8),
                         pltpu.SemaphoreType.DMA(())],
     )(rows, bitmap)[0, 0]
 
