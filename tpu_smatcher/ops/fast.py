@@ -463,15 +463,21 @@ class FastScanner:
         k = stages_for(ft, n, self.cap)
         mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
                                        n_stages=k, interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap,
-                               row_slots=self.row_slots)
         tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
                                   interpret=self.interpret)
-        c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
-                      m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
-                      n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
-        co = jnp.stack([jnp.int32(c), jnp.int32(o)])   # one host fetch
-        co = np.asarray(co)
+        # optimistic pass at half cap (stages_for targets cap/4 expected
+        # candidates, so this succeeds unless matches alone exceed cap/4);
+        # compact+verify cost scales with the cap, the mask is reused on retry
+        caps = [self.cap // 2, self.cap] if self.cap >= 8192 else [self.cap]
+        for trial_cap in caps:
+            idxs, o = compact_mask(mask2d, caprows=min(self.caprows, trial_cap),
+                                   cap=trial_cap, row_slots=self.row_slots)
+            c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                          m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
+                          n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+            co = np.asarray(jnp.stack([jnp.int32(c), jnp.int32(o)]))
+            if not co[1]:
+                break
         return int(co[0]), bool(co[1])
 
     def count_with_overflow(self, text) -> tuple[int, bool]:
