@@ -218,6 +218,7 @@ class EngineFastPath:
                 self.table0 = jnp.asarray(bm)
 
         self._jcount = jax.jit(self._count_impl)
+        self._jmask = jax.jit(self._mask_impl)
 
     def _stages(self, n):
         stages, tables = [], []
@@ -261,10 +262,35 @@ class EngineFastPath:
                       n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
         return c, jnp.int32(o)
 
+    def _mask_impl(self, ext):
+        stages, tables, _ = self._stages(ext.shape[0])
+        return _run_stages(ext, stages, tables, m=self.m, sigma=self.sigma,
+                           n=ext.shape[0], count_mode=False,
+                           interpret=self.interpret)
+
     def count(self, text) -> int:
         text = jnp.asarray(text, jnp.uint8)
-        c, o = self._jcount(text)         # jit-cached per text shape
-        co = np.asarray(jnp.stack([c, o]))   # one host fetch
+        n = int(text.shape[0])
+        ft = self.ft
+        if n < self.m:
+            return 0
+        if ft.exact:
+            co = np.asarray(jnp.stack(self._jcount(text)))
+            return int(co[0])
+        # optimistic half-cap compact+verify, full-cap retry (ops/fast.py)
+        mask2d = self._jmask(text)
+        tw = words_view_pallas(text, nw=words_len(n, ft.words),
+                               interpret=self.interpret)
+        caps = [self.cap // 2, self.cap] if self.cap >= 8192 else [self.cap]
+        for trial_cap in caps:
+            idxs, o = compact_mask(mask2d, caprows=min(self.caprows, trial_cap),
+                                   cap=trial_cap, row_slots=self.row_slots)
+            c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                          m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
+                          n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+            co = np.asarray(jnp.stack([jnp.int32(c), jnp.int32(o)]))
+            if not co[1]:
+                break
         if co[1]:
             raise OverflowError(
                 "candidate cap exceeded; raise cap=/row_slots= or use the "
