@@ -48,7 +48,7 @@ def kern_vpu(tile_ref, out_ref):
     acc = jnp.zeros((rb, LANES), jnp.int32)
     for s in range(K):
         acc = acc ^ pf._fp_keys_2d(t32, m, FP_MULTS[s])
-    out_ref[0, 0] = jnp.sum(acc, dtype=jnp.int32) if False else acc.sum(dtype=jnp.int32)
+    out_ref[0, 0] = acc.sum(dtype=jnp.int32)
 
 def kern_mxu(tile_ref, *refs):
     out_ref = refs[-1]

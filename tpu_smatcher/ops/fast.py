@@ -118,22 +118,24 @@ def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None)
     patterns = np.unique(patterns, axis=0)
     p, m = patterns.shape
 
-    # all filter stages are built; scans pick how many to apply.  Stage
-    # bitmaps are sized to the pattern count (cost is one gather per 4096
-    # bits, so small pattern sets use 1-2 banks at slightly higher per-stage
-    # FPR — more stages, far fewer gathers)
-    # pow2ceil(2p): with MXU-computed keys the per-stage key cost is small,
-    # so fewer banks (one gather each) at higher per-stage FPR + more stages
-    # minimizes total gathers (k(B)*(key_cost + B*gather_cost))
+    # All filter stages are built; scans pick how many to apply.  Stage
+    # bitmaps are sized to the pattern count: cost is one gather per
+    # 4096-bit bank, and with MXU-computed keys the per-stage key cost is
+    # small, so fewer banks at higher per-stage FPR + more stages minimizes
+    # total gathers (k(B)*(key_cost + B*gather_cost)).  Start at pow2ceil(2p)
+    # and grow until the measured fill is <= 0.30 — at pow2ceil(2p) alone,
+    # p just above a power of two fills ~40% and even all len(FP_MULTS)
+    # stages cannot meet the candidate budget on large texts.
+    fps = [_fp_keys_np(patterns, FP_MULTS[s]) for s in range(len(FP_MULTS))]
     stage_bits = int(min(BITMAP_BITS, max(4096, 1 << (2 * max(p, 1) - 1).bit_length())))
-    bitmaps = []
-    fps = []
-    for s in range(len(FP_MULTS)):
-        keys = _fp_keys_np(patterns, FP_MULTS[s])
-        fps.append(keys)
-        bitmaps.append(jnp.asarray(pack_bitmap(keys & (stage_bits - 1), stage_bits)))
-    density = float(np.count_nonzero(
-        np.unpackbits(np.asarray(bitmaps[0]).view(np.uint8)))) / stage_bits
+    while True:
+        bm0 = pack_bitmap(fps[0] & (stage_bits - 1), stage_bits)
+        density = float(np.count_nonzero(np.unpackbits(bm0.view(np.uint8)))) / stage_bits
+        if density <= 0.30 or stage_bits >= BITMAP_BITS:
+            break
+        stage_bits <<= 1
+    bitmaps = [jnp.asarray(pack_bitmap(k & (stage_bits - 1), stage_bits))
+               for k in fps]
 
     if n_stages is None:
         k = 1
@@ -281,6 +283,27 @@ def nonzero_scatter(mask, size: int, fill: int):
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
     out = jnp.full((size,), fill, jnp.int32)
     return out.at[pos].set(iota, mode="drop", unique_indices=True)
+
+
+def compact_verify_retry(mask2d, tw, ft, *, cap, caprows, row_slots,
+                         n_starts):
+    """Optimistic half-cap compact+verify with full-cap retry.
+
+    compact+verify cost scales with the static cap; stages are sized so
+    expected candidates <= cap/4, so the half-cap pass succeeds unless
+    matches alone exceed cap/4 — the mask and word view are reused on the
+    (rare) retry.  Returns (count, overflowed) as python values."""
+    caps = [cap // 2, cap] if cap >= 8192 else [cap]
+    for trial_cap in caps:
+        idxs, o = compact_mask(mask2d, caprows=min(caprows, trial_cap),
+                               cap=trial_cap, row_slots=row_slots)
+        c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                      m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
+                      n_starts=n_starts, slot_ok=ft.slot_ok)
+        co = np.asarray(jnp.stack([jnp.int32(c), jnp.int32(o)]))
+        if not co[1]:
+            break
+    return int(co[0]), bool(co[1])
 
 
 #: default per-candidate-row slots extracted by hierarchical compaction
@@ -465,20 +488,10 @@ class FastScanner:
                                        n_stages=k, interpret=self.interpret)
         tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
                                   interpret=self.interpret)
-        # optimistic pass at half cap (stages_for targets cap/4 expected
-        # candidates, so this succeeds unless matches alone exceed cap/4);
-        # compact+verify cost scales with the cap, the mask is reused on retry
-        caps = [self.cap // 2, self.cap] if self.cap >= 8192 else [self.cap]
-        for trial_cap in caps:
-            idxs, o = compact_mask(mask2d, caprows=min(self.caprows, trial_cap),
-                                   cap=trial_cap, row_slots=self.row_slots)
-            c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
-                          m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
-                          n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
-            co = np.asarray(jnp.stack([jnp.int32(c), jnp.int32(o)]))
-            if not co[1]:
-                break
-        return int(co[0]), bool(co[1])
+        return compact_verify_retry(mask2d, tw, ft, cap=self.cap,
+                                    caprows=self.caprows,
+                                    row_slots=self.row_slots,
+                                    n_starts=n - ft.m + 1)
 
     def count_with_overflow(self, text) -> tuple[int, bool]:
         text = jnp.asarray(text, jnp.uint8)

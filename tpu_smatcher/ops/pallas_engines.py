@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_smatcher.automata.sog import SOG_B
 from tpu_smatcher.ops.fast import (
     FP_MULTS, DEFAULT_CAP, _bits_per_char, _wid_keys_np, build_fast,
-    compact_mask, stages_for, verify_at, words_len)
+    compact_mask, compact_verify_retry, stages_for, verify_at, words_len)
 from tpu_smatcher.ops.lookup import pack_bitmap
 from tpu_smatcher.ops.pallas_filter import (
     LANES, ROW_BYTES, FILTER_RB, _bitmap_lookup, _fp_keys_mxu,
@@ -76,9 +76,8 @@ def _stage_hit(kind, params, ref, t32, rb):
         keys = _wid_keys_2d(t32[:, off:off + LANES + d - 1], d, bits)
         return _bitmap_lookup(ref, keys, rb)
     if kind == "fp":                       # polynomial fingerprint bitmap
-        bitmap_ref, w_ref = ref            # keys on the MXU (pallas_filter)
-        t_bf = t32.astype(jnp.bfloat16)
-        sbits = bitmap_ref.shape[0] * 4096
+        bitmap_ref, w_ref, t_bf = ref      # keys on the MXU (pallas_filter);
+        sbits = bitmap_ref.shape[0] * 4096  # mult/m live in the weights table
         keys = _fp_keys_mxu(t_bf, w_ref, sbits - 1)
         return _bitmap_lookup(bitmap_ref, keys, rb)
     if kind == "wm":                       # SHIFT[hash(last 3 chars)] == 0
@@ -106,11 +105,13 @@ def _stage_hit(kind, params, ref, t32, rb):
 def _stages_kernel(tile_ref, *refs, stages, m, sigma, n_starts, rb,
                    count_mode, guard):
     t32 = tile_ref[:].astype(jnp.int32)
+    t_bf = (t32.astype(jnp.bfloat16)       # hoisted: shared by all fp stages
+            if any(k == "fp" for k, _ in stages) else None)
     hit = None
     ri = 0
     for kind, params in stages:
         if kind == "fp":                  # consumes (bitmap, mxu weights)
-            ref = (refs[ri], refs[ri + 1])
+            ref = (refs[ri], refs[ri + 1], t_bf)
             ri += 2
         else:
             ref = refs[ri]
@@ -233,7 +234,8 @@ class EngineFastPath:
             return stages, tables, True
         k = stages_for(ft, n, self.cap)
         for s in range(k):
-            stages.append(("fp", (self.m, FP_MULTS[s])))
+            # the mult and m live entirely in the prebuilt weights table
+            stages.append(("fp", ()))
             tables.append(ft.bitmaps[s])
             tables.append(fp_weights(FP_MULTS[s], self.m))
         return stages, tables, False
@@ -277,25 +279,18 @@ class EngineFastPath:
         if ft.exact:
             co = np.asarray(jnp.stack(self._jcount(text)))
             return int(co[0])
-        # optimistic half-cap compact+verify, full-cap retry (ops/fast.py)
         mask2d = self._jmask(text)
         tw = words_view_pallas(text, nw=words_len(n, ft.words),
                                interpret=self.interpret)
-        caps = [self.cap // 2, self.cap] if self.cap >= 8192 else [self.cap]
-        for trial_cap in caps:
-            idxs, o = compact_mask(mask2d, caprows=min(self.caprows, trial_cap),
-                                   cap=trial_cap, row_slots=self.row_slots)
-            c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
-                          m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
-                          n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
-            co = np.asarray(jnp.stack([jnp.int32(c), jnp.int32(o)]))
-            if not co[1]:
-                break
-        if co[1]:
+        c, o = compact_verify_retry(mask2d, tw, ft, cap=self.cap,
+                                    caprows=self.caprows,
+                                    row_slots=self.row_slots,
+                                    n_starts=n - ft.m + 1)
+        if o:
             raise OverflowError(
                 "candidate cap exceeded; raise cap=/row_slots= or use the "
                 "jnp path")
-        return int(co[0])
+        return c
 
     def core(self, ext):
         """Traceable per-shard (count, overflow) for shard_map distribution

@@ -205,7 +205,8 @@ def exact_count_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
                        sigma: int, n: int, rb: int = DEFAULT_RB,
                        guard: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
-    """Exact window-id count (sigma^m <= 2^16). bitmap: (16, 128) int32.
+    """Exact window-id count (sigma^m <= 2^16). bitmap: (B, 128) int32
+    sized to the key space (B*4096 = max(4096, sigma^m) bits).
 
     guard=True masks pad-contaminated windows (required when the text may
     contain the out-of-alphabet symbol sigma, i.e. distribution shards
