@@ -80,3 +80,18 @@ def test_fast_distributed_core():
     mesh = make_mesh(8)
     dc = DistributedCounter(eng.core, mesh, m=pats.m, sigma=pats.sigma)
     assert dc.count(text) == expected
+
+
+def test_stage_bits_density_bounded():
+    """p just above a power of two must not saturate the stage bitmaps
+    (regression: pow2ceil(2p) alone gave ~40% fill at p=2048 and the
+    10-stage filter could not meet the candidate budget on large texts)."""
+    import numpy as np
+    from tpu_smatcher.ops.fast import build_fast, stages_for, DEFAULT_CAP
+    rng = np.random.default_rng(5)
+    pats = rng.integers(0, 20, (2048, 16)).astype(np.uint8)
+    ft = build_fast(pats, 20)
+    assert ft.density <= 0.30
+    # all-stage filtering reaches the budget even for a 1 GiB corpus
+    k = stages_for(ft, 1 << 30, DEFAULT_CAP)
+    assert (1 << 30) * ft.density ** k <= DEFAULT_CAP / 4
