@@ -95,3 +95,34 @@ def test_stage_bits_density_bounded():
     # all-stage filtering reaches the budget even for a 1 GiB corpus
     k = stages_for(ft, 1 << 30, DEFAULT_CAP)
     assert (1 << 30) * ft.density ** k <= DEFAULT_CAP / 4
+
+
+def test_count_file_streaming(tmp_path):
+    """Chunked file scan equals the in-memory count (halo'd chunk split)."""
+    import numpy as np
+    from tpu_smatcher.core.alphabet import Alphabet
+    from tpu_smatcher.core import datagen
+    from tpu_smatcher.engines import make_fast
+    ab = Alphabet.dna()
+    text = datagen.generate_text(100_003, ab, seed=41)
+    pats = datagen.generate_patterns(text, 60, 8, ab, frac_present=0.6, seed=42)
+    path = tmp_path / "c.bin"
+    text.tofile(path)
+    eng = make_fast(pats, backend="xla", tile=1 << 12)
+    want = datagen.count_matches(text, pats)
+    assert eng.count_file(str(path), chunk=1 << 14) == want
+    assert eng.count_file(str(path), chunk=1 << 20) == want   # single chunk
+
+
+def test_long_patterns_fall_back_to_xla(tmp_path):
+    """m > 129 exceeds the Pallas overlapped-row layout; the scanner must
+    fall back to the tiled XLA path instead of raising."""
+    import numpy as np
+    from tpu_smatcher.core.alphabet import Alphabet
+    from tpu_smatcher.core import datagen
+    from tpu_smatcher.engines import make_fast
+    ab = Alphabet.protein()
+    text = datagen.generate_text(30_000, ab, seed=43)
+    pats = datagen.generate_patterns(text, 20, 200, ab, frac_present=0.6, seed=44)
+    eng = make_fast(pats, backend="pallas", interpret=True, tile=1 << 12)
+    assert eng.count(text) == datagen.count_matches(text, pats)

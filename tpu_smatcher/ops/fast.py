@@ -495,7 +495,9 @@ class FastScanner:
 
     def count_with_overflow(self, text) -> tuple[int, bool]:
         text = jnp.asarray(text, jnp.uint8)
-        if self.backend == "pallas":
+        # the Pallas overlapped-row layout supports m <= 129; longer
+        # patterns fall back to the tiled XLA path transparently
+        if self.backend == "pallas" and self.m <= 129:
             return self._count_pallas(text)
         c, o = self._jit(text)
         return int(c), bool(o)
@@ -507,6 +509,25 @@ class FastScanner:
                 "candidate cap exceeded; raise cap= (and row_slots= for "
                 "dense-match workloads) or use backend='xla'")
         return c
+
+    def count_file(self, path: str, *, chunk: int = 1 << 28) -> int:
+        """Stream a pre-encoded corpus file through the scanner in `chunk`
+        byte pieces without loading it fully: piece i is scanned over
+        [i*chunk, (i+1)*chunk + m - 1) so every window start belongs to
+        exactly one piece (the same (m-1)-halo partition the reference uses
+        across MPI ranks, main.c:463-477, applied to disk IO)."""
+        import os
+        size = os.path.getsize(path)
+        mm = np.memmap(path, dtype=np.uint8, mode="r")
+        total = 0
+        for start in range(0, max(size - self.m + 1, 1), chunk):
+            stop = min(size, start + chunk + self.m - 1)
+            piece = np.asarray(mm[start:stop])
+            # an interior piece has length chunk + m - 1, so its window
+            # starts [0, chunk) are exactly the owned ones; the final piece
+            # ends at EOF and owns its remaining starts
+            total += self.count(piece)
+        return total
 
     def positions(self, text) -> np.ndarray:
         """Sorted start positions of all matching windows.
