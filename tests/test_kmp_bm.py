@@ -76,3 +76,13 @@ def test_sh_tables_carry_bm_bc():
     pats = rng.integers(0, 4, (20, 8)).astype(np.uint8)
     sh = build_sh(pats, 4)
     np.testing.assert_array_equal(sh.bmBc, pre_bm_bc(pats, 4))
+
+
+def test_pattern_set_from_fasta(tmp_path):
+    from tpu_smatcher.core.alphabet import Alphabet
+    from tpu_smatcher.core.patterns import PatternSet
+    fa = tmp_path / "p.fa"
+    fa.write_bytes(b">a\nACGT\nACGT\n>b\nTTTTACGT\n>c desc\nacgtacgt\n")
+    ps = PatternSet.from_fasta(str(fa), Alphabet.dna())
+    assert ps.p_size == 3 and ps.m == 8
+    np.testing.assert_array_equal(ps.codes[2], [0, 1, 2, 3, 0, 1, 2, 3])

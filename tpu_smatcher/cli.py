@@ -49,7 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="corpus length (required with --synthetic)")
     src.add_argument("--seed", type=int, default=0)
     pat = p.add_argument_group("patterns")
-    pat.add_argument("--patterns", help="pattern file: .npz (PatternSet.save) "
+    pat.add_argument("--patterns", help="pattern file: .npz (PatternSet.save), "
+                                        ".fa/.fasta (one record per pattern), "
                                         "or raw fixed-width records")
     pat.add_argument("--frac-present", type=float, default=0.5,
                      help="synthetic patterns: fraction sampled from the text")
@@ -60,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--devices", type=int, default=1,
                      help="run distributed over a 1-D mesh of this many devices")
     run.add_argument("--lanes", type=int, default=8192, help="AC scan lanes")
+    run.add_argument("--q", type=int, default=1,
+                     help="AC jnp path: chars consumed per composed-table step")
     run.add_argument("--tile", type=int, default=1 << 20,
                      help="filter-engine tile (window starts per tile)")
     run.add_argument("--reps", type=int, default=1, help="timed repetitions")
@@ -106,6 +109,8 @@ def load_inputs(args):
     if args.patterns:
         if args.patterns.endswith(".npz"):
             pats = PatternSet.load(args.patterns)
+        elif args.patterns.endswith((".fa", ".fasta")):
+            pats = PatternSet.from_fasta(args.patterns, ab)
         else:
             raw = np.fromfile(args.patterns, dtype=np.uint8)
             if raw.size % args.m:
@@ -166,7 +171,8 @@ def run_engine(name, text, pats, args):
     elif name == "fast":
         scanner = make_fast(pats, backend=args.backend)
     else:
-        scanner = make_engine(name, pats, lanes=args.lanes, tile=args.tile)
+        scanner = make_engine(name, pats, lanes=args.lanes, tile=args.tile,
+                              q=args.q if name == "ac" else 1)
     t_build = time.time() - t0
 
     if args.devices == 1:

@@ -47,6 +47,26 @@ class PatternSet:
             raise ValueError(f"all patterns must share one length, got {sorted(lens)}")
         return PatternSet(np.stack(rows), alphabet)
 
+    @staticmethod
+    def from_fasta(path: str, alphabet: Alphabet) -> "PatternSet":
+        """One pattern per FASTA record; all records must share one length."""
+        from tpu_smatcher.core import corpus as corpus_mod
+        seqs = []
+        cur = []
+        with open(path, "rb") as f:
+            for line in f:
+                if line.startswith(b">"):
+                    if cur:
+                        seqs.append(b"".join(cur))
+                        cur = []
+                else:
+                    cur.append(b"".join(line.split()))
+        if cur:
+            seqs.append(b"".join(cur))
+        if not seqs:
+            raise ValueError(f"no FASTA records in {path}")
+        return PatternSet.from_strings(seqs, alphabet)
+
     def flat(self) -> np.ndarray:
         """Flattened ``pattern2``-style view (p_size * m,)."""
         return self.codes.reshape(-1)
