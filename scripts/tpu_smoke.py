@@ -1,0 +1,80 @@
+"""One-command validation on the real TPU (tests/ run on the CPU mesh).
+
+Exercises every production surface against host ground truth: both fast-path
+tiers, all five engines, positions, streaming file scans, checkpoint
+round-trip, and the distributed counter on a mesh of the available chips.
+Prints PASS/FAIL per check and exits non-zero on any failure.
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from tpu_smatcher.core.alphabet import Alphabet
+    from tpu_smatcher.core import datagen
+    from tpu_smatcher.core.checkpoint import save_tables, load_tables
+    from tpu_smatcher.engines import (
+        build_tables, make_distributed, make_engine, make_engine_from_tables,
+        make_fast)
+    from tpu_smatcher.parallel import make_mesh
+    from tpu_smatcher.parallel.dist import DistributedCounter
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    failures = []
+
+    def check(name, got, want):
+        ok = got == want
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {got}"
+              + ("" if ok else f" != {want}"), flush=True)
+        if not ok:
+            failures.append(name)
+
+    cases = [("dna m=8 (exact tier)", Alphabet.dna(), 8, 400),
+             ("protein m=32 (fp tier)", Alphabet.protein(), 32, 400)]
+    for tag, ab, m, p in cases:
+        text = datagen.generate_text(1 << 22, ab, seed=11)
+        pats = datagen.generate_patterns(text, p, m, ab, frac_present=0.6, seed=12)
+        truth = datagen.count_matches(text, pats)
+        tdev = jax.device_put(jnp.asarray(text))
+
+        fast = make_fast(pats)
+        check(f"fast count [{tag}]", fast.count(tdev), truth)
+        want_pos = np.nonzero(np.asarray(datagen.match_starts(text, pats)))[0]
+        check(f"fast positions [{tag}]", int(fast.positions(tdev).sum()),
+              int(want_pos.sum()))
+
+        engines = ["ac", "sh", "sbom", "wm"] + ([f"sog{m}"] if m in (8, 16, 32) else [])
+        for name in engines:
+            eng = make_engine(name, pats)
+            check(f"{name} count [{tag}]", eng.count(tdev), truth)
+
+        mesh = make_mesh()                   # all available chips
+        dc = DistributedCounter(fast.core, mesh, m=m, sigma=pats.sigma)
+        check(f"distributed fast [{tag}] x{len(jax.devices())}",
+              dc.count(text), truth)
+
+        with tempfile.TemporaryDirectory() as td:
+            tp = os.path.join(td, "t.npz")
+            save_tables(tp, build_tables("fast", pats))
+            eng2 = make_engine_from_tables("fast", load_tables(tp))
+            check(f"checkpoint round-trip [{tag}]", eng2.count(tdev), truth)
+
+            cp = os.path.join(td, "c.bin")
+            text.tofile(cp)
+            check(f"count_file [{tag}]",
+                  fast.count_file(cp, chunk=1 << 20), truth)
+
+    print("ALL PASS" if not failures else f"FAILURES: {failures}", flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
