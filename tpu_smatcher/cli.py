@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                                         "or raw fixed-width records")
     pat.add_argument("--frac-present", type=float, default=0.5,
                      help="synthetic patterns: fraction sampled from the text")
+    pat.add_argument("--save-patterns", metavar="OUT.npz",
+                     help="write the (possibly generated) pattern set to disk "
+                          "— the reference's -c dataset-creation workflow "
+                          "(main.c:48-50)")
+    src.add_argument("--save-corpus", metavar="OUT.bin",
+                     help="write the (possibly generated) encoded corpus")
     run = p.add_argument_group("execution")
     run.add_argument("--backend", default="auto",
                      choices=["auto", "pallas", "xla"],
@@ -122,6 +128,10 @@ def load_inputs(args):
         pats = datagen.generate_patterns(text, args.p_size, args.m, ab,
                                          frac_present=args.frac_present,
                                          seed=args.seed + 1)
+    if args.save_patterns:
+        pats.save(args.save_patterns)
+    if args.save_corpus:
+        np.asarray(text, np.uint8).tofile(args.save_corpus)
     return text, pats, time.time() - t0
 
 
