@@ -90,3 +90,30 @@ def test_native_fasta_encoder_matches_python(tmp_path):
     got = nat.encode_fasta_native(raw, corpus._fasta_lut(ab))
     if got is not None:            # native available
         np.testing.assert_array_equal(got, want)
+
+
+def test_native_cpu_count_matches_numpy():
+    import numpy as np
+    from tpu_smatcher.core.alphabet import Alphabet
+    from tpu_smatcher.core import datagen
+    from tpu_smatcher import native as nat
+    rng = np.random.default_rng(3)
+    for sigma, m, p, n in [(4, 8, 50, 40_000), (20, 32, 40, 30_000),
+                           (2, 16, 30, 20_000), (256, 12, 25, 20_000),
+                           (4, 1, 2, 5_000)]:
+        ab = Alphabet.of_size(sigma)
+        text = datagen.generate_text(n, ab, seed=int(rng.integers(1e6)))
+        if m == 1:
+            pats_codes = rng.integers(0, sigma, (p, 1)).astype(np.uint8)
+            want = int(np.isin(text, pats_codes.ravel()).sum())
+            got = nat.count_cpu_native(text, pats_codes)
+        else:
+            pats = datagen.generate_patterns(text, p, m, ab,
+                                             frac_present=0.6,
+                                             seed=int(rng.integers(1e6)))
+            want = datagen.count_matches(text, pats)          # numpy oracle
+            got = datagen.count_matches(text, pats, prefer_native=True)
+        if got is None:
+            import pytest
+            pytest.skip("native library unavailable")
+        assert got == want, (sigma, m, p, n)

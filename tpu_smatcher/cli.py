@@ -258,7 +258,7 @@ def main(argv=None):
 
     if args.verify:
         from tpu_smatcher.core import datagen
-        truth = datagen.count_matches(text, pats)
+        truth = datagen.count_matches(text, pats, prefer_native=True)
         ok = all(r["matches"] == truth for r in results)
         for r in results:
             r["ground_truth"] = int(truth)

@@ -78,6 +78,18 @@ def match_starts(text: np.ndarray, patterns: PatternSet | np.ndarray) -> np.ndar
     return np.isin(win_keys, pat_keys)
 
 
-def count_matches(text: np.ndarray, patterns: PatternSet | np.ndarray) -> int:
-    """Ground-truth total match count (one per position with >=1 match)."""
+def count_matches(text: np.ndarray, patterns: PatternSet | np.ndarray,
+                  prefer_native: bool = False) -> int:
+    """Ground-truth total match count (one per position with >=1 match).
+
+    prefer_native uses the C scanner (native/builders.cpp:tpu_count_cpu,
+    the reference's multiwm2 CPU-path analogue) — required for full-scale
+    corpora where the numpy oracle would materialize gigabytes of windows;
+    it is validated against the numpy path in tests/test_native.py."""
+    if prefer_native:
+        from tpu_smatcher import native as nat
+        codes = patterns.codes if isinstance(patterns, PatternSet) else np.asarray(patterns, np.uint8)
+        c = nat.count_cpu_native(np.asarray(text, np.uint8), codes)
+        if c is not None:
+            return c
     return int(match_starts(text, patterns).sum())

@@ -34,6 +34,9 @@ def _configure(lib):
     lib.tpu_build_sbom.argtypes = [_i8p] + [ctypes.c_int64] * 3 + [_i32p, _i32p, _i32p, _i32p]
     lib.tpu_encode_fasta.restype = ctypes.c_int64
     lib.tpu_encode_fasta.argtypes = [_i8p, ctypes.c_int64, _i8p, _i8p]
+    lib.tpu_count_cpu.restype = ctypes.c_int64
+    lib.tpu_count_cpu.argtypes = [_i8p, ctypes.c_int64, _i8p,
+                                  ctypes.c_int64, ctypes.c_int64]
     return lib
 
 
@@ -115,6 +118,18 @@ def encode_fasta_native(raw: np.ndarray, lut: np.ndarray):
     out = np.empty(max(raw.size, 1), np.uint8)
     n = lib.tpu_encode_fasta(raw, raw.size, lut, out)
     return out[:int(n)].copy()
+
+
+def count_cpu_native(text: np.ndarray, patterns: np.ndarray):
+    """Native CPU ground-truth count (builders.cpp:tpu_count_cpu — the
+    reference's multiwm2 CPU path analogue), or None if unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
+    p, m = patterns.shape
+    return int(lib.tpu_count_cpu(text, text.size, patterns, p, m))
 
 
 def build_sbom_native(patterns: np.ndarray, sigma: int):

@@ -184,6 +184,60 @@ int64_t tpu_build_sbom(const uint8_t *pats, int64_t p, int64_t m, int64_t sigma,
   return n_states;
 }
 
+// CPU reference scan — the native analogue of the reference's live CPU path
+// (multiwm2 -> search_wu2, wu/wu.c:151-209): patterns bucketed by their last
+// two bytes, every window end checked against its bucket with memcmp, <= 1
+// count per window.  Counts equal datagen.count_matches (windows with >= 1
+// exact occurrence); used for full-scale ground-truth verification where the
+// numpy oracle would need gigabytes of materialized windows.
+int64_t tpu_count_cpu(const uint8_t* text, int64_t n, const uint8_t* patterns,
+                      int64_t p, int64_t m) {
+  if (n < m || p == 0 || m <= 0) return 0;
+  int64_t count = 0;
+  if (m == 1) {
+    bool present[256] = {false};
+    for (int64_t j = 0; j < p; ++j) present[patterns[j]] = true;
+    for (int64_t i = 0; i < n; ++i) count += present[text[i]];
+    return count;
+  }
+  // bucket by a multiplicative fold of the last min(m,16) bytes: small
+  // alphabets need a long tail to spread (sigma=2 has only 256 distinct
+  // 8-byte tails for 65536 buckets and chains explode); memcmp keeps the
+  // count exact
+  const int64_t kb = m < 16 ? m : 16;
+  auto hash_tail = [kb](const uint8_t* end_m1) {
+    uint32_t h = 0;
+    for (int64_t k = 0; k < kb; ++k) h = h * 131u + end_m1[-k];
+    return h & 0xFFFFu;
+  };
+  std::vector<int32_t> head(65536, -1), nxt(p);
+  for (int64_t j = 0; j < p; ++j) {
+    const uint32_t h = hash_tail(patterns + j * m + m - 1);
+    // skip duplicate patterns (cannot change the >=1-per-window count but
+    // would lengthen every miss's chain walk)
+    bool dup = false;
+    for (int32_t k = head[h]; k >= 0; k = nxt[k]) {
+      if (memcmp(patterns + (int64_t)k * m, patterns + j * m, (size_t)m) == 0) {
+        dup = true;
+        break;
+      }
+    }
+    if (dup) continue;
+    nxt[j] = head[h];
+    head[h] = (int32_t)j;
+  }
+  for (int64_t e = m - 1; e < n; ++e) {
+    const uint32_t h = hash_tail(text + e);
+    for (int32_t j = head[h]; j >= 0; j = nxt[j]) {
+      if (memcmp(text + e - m + 1, patterns + (int64_t)j * m, (size_t)m) == 0) {
+        ++count;
+        break;
+      }
+    }
+  }
+  return count;
+}
+
 // FASTA/raw corpus encoder (the reference's data path is C — the missing
 // helper2 load_files; core/corpus.py load_fasta is the python fallback).
 // lut[b]: code point for raw byte b, or 255 = skip (whitespace).  '>' header
