@@ -117,3 +117,14 @@ def test_native_cpu_count_matches_numpy():
             import pytest
             pytest.skip("native library unavailable")
         assert got == want, (sigma, m, p, n)
+
+
+def test_native_sbom_rejects_out_of_range_bytes():
+    import numpy as np
+    import pytest
+    from tpu_smatcher import native as nat
+    if nat.load() is None:
+        pytest.skip("native library unavailable")
+    bad = np.array([[200, 1, 2, 3]], np.uint8)
+    with pytest.raises(ValueError):
+        nat.build_sbom_native(bad, 4)

@@ -53,13 +53,28 @@ def test_dprint_in_jit(capfd):
 def test_dprint_in_pallas_interpret(capfd):
     from jax.experimental import pallas as pl
 
+    dispatched = []
+    orig = pl.debug_print
+
+    def spy(fmt, *args):
+        dispatched.append(fmt)
+        return orig(fmt, *args)
+
     def kern(x_ref, o_ref):
         dprint("cell={}", x_ref[0, 0])
         o_ref[:] = x_ref[:] * 3
 
-    out = pl.pallas_call(
-        kern, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
-        interpret=True)(jnp.ones((8, 128), jnp.int32))
+    pl.debug_print = spy
+    try:
+        out = pl.pallas_call(
+            kern, grid=(1,),
+            in_specs=[pl.BlockSpec((8, 128), lambda i: (0, 0))],
+            out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+            interpret=True)(jnp.ones((8, 128), jnp.int32))
+    finally:
+        pl.debug_print = orig
     assert int(out.sum()) == 3 * 8 * 128
+    assert dispatched, "dprint must route to pl.debug_print inside kernels"
     jax.effects_barrier()
     assert "cell=" in capfd.readouterr().out

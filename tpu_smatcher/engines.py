@@ -116,10 +116,9 @@ def make_distributed(name: str, patterns: PatternSet, mesh, **opts):
     """Distributed engine over a 1-D device mesh: tables replicated, text
     sharded with ICI halo exchange, count psum-reduced (parallel/dist.py).
     On TPU the per-shard scan is the engine's Pallas fast path."""
-    import jax
     from tpu_smatcher.parallel.dist import DistributedCounter
+    from tpu_smatcher.ops.common import active_fastpath
     eng = make_engine(name, patterns, **opts)
-    fp = getattr(eng, "fast_path", None)
-    core = (fp.core if fp is not None
-            and (fp.interpret or jax.default_backend() == "tpu") else eng.core)
+    fp = active_fastpath(eng)
+    core = fp.core if fp is not None else eng.core
     return DistributedCounter(core, mesh, m=patterns.m, sigma=patterns.sigma)

@@ -52,14 +52,24 @@ def load():
         _tried = True
         if os.environ.get("TPU_SMATCHER_NO_NATIVE"):
             return None
+        src_path = os.path.join(_DIR, "builders.cpp")
+
+        def _build():
+            subprocess.run(["make", "-s", "-C", _DIR], check=True,
+                           capture_output=True, timeout=120)
+
         try:
-            if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH)
-                < os.path.getmtime(os.path.join(_DIR, "builders.cpp"))
-            ):
-                subprocess.run(["make", "-s", "-C", _DIR], check=True,
-                               capture_output=True, timeout=120)
-            _lib = _configure(ctypes.CDLL(_LIB_PATH))
+            stale = (not os.path.exists(_LIB_PATH)
+                     or (os.path.exists(src_path)
+                         and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src_path)))
+            if stale:
+                _build()
+            try:
+                _lib = _configure(ctypes.CDLL(_LIB_PATH))
+            except OSError:
+                # a stale/foreign-architecture binary: rebuild once and retry
+                _build()
+                _lib = _configure(ctypes.CDLL(_LIB_PATH))
         except Exception:
             _lib = None
         return _lib

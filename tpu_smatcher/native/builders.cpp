@@ -161,6 +161,7 @@ int64_t tpu_build_sbom(const uint8_t *pats, int64_t p, int64_t m, int64_t sigma,
     if (!done) {
       for (; i >= 0; --i) {
         const uint8_t c = pat[i];
+        if (c >= sigma) return -1;
         const int32_t nw = n_states++;
         trans_at(transition, sigma, s, c) = nw;
         int32_t k = supply[s];

@@ -35,6 +35,16 @@ def fastpath_positions(scanner, text):
     return fp.positions(text)
 
 
+def check_count32(n: int) -> None:
+    """Counts are int32 end-to-end (per-lane accumulators, SMEM scalars,
+    psum); a single scan over >= 2^31 window starts could wrap.  Callers
+    split such corpora (FastScanner.count_file) or shard across devices."""
+    if n >= (1 << 31):
+        raise ValueError(
+            f"text length {n} >= 2^31: counts are int32 — scan in pieces "
+            "(count_file) or shard across devices")
+
+
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 

@@ -494,7 +494,9 @@ class FastScanner:
                                     n_starts=n - ft.m + 1)
 
     def count_with_overflow(self, text) -> tuple[int, bool]:
+        from tpu_smatcher.ops.common import check_count32
         text = jnp.asarray(text, jnp.uint8)
+        check_count32(int(text.shape[0]))
         # the Pallas overlapped-row layout supports m <= 129; longer
         # patterns fall back to the tiled XLA path transparently
         if self.backend == "pallas" and self.m <= 129:

@@ -271,8 +271,10 @@ class EngineFastPath:
                            interpret=self.interpret)
 
     def count(self, text) -> int:
+        from tpu_smatcher.ops.common import check_count32
         text = jnp.asarray(text, jnp.uint8)
         n = int(text.shape[0])
+        check_count32(n)
         ft = self.ft
         if n < self.m:
             return 0

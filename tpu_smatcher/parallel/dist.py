@@ -81,6 +81,8 @@ class DistributedCounter:
             sharded, _ = shard_text(text, self.mesh, sigma=self.sigma, axis=self.axis)
         else:
             sharded = text
+        from tpu_smatcher.ops.common import check_count32
+        check_count32(int(sharded.shape[0]))
         per = sharded.shape[0] // self.mesh.shape[self.axis]
         if per < self.m - 1:
             raise ValueError(

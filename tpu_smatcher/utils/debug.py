@@ -23,7 +23,9 @@ def dprint(fmt: str, *args) -> None:
     try:
         from jax.experimental import pallas as pl
         from jax._src.pallas import core as pl_core
-        in_pallas = pl_core.grid_env() is not None and len(pl_core.grid_env()) > 0
+        # set for the duration of kernel tracing (jax 0.9: grid_env_stack is
+        # only populated around index-map evaluation, so test grid_context)
+        in_pallas = pl_core._pallas_tracing_env.grid_context is not None
     except Exception:
         pl = None
         in_pallas = False
