@@ -15,8 +15,10 @@
 //
 // All functions return the number of states actually used, or -1 on error.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -227,15 +229,41 @@ int64_t tpu_count_cpu(const uint8_t* text, int64_t n, const uint8_t* patterns,
     nxt[j] = head[h];
     head[h] = (int32_t)j;
   }
-  for (int64_t e = m - 1; e < n; ++e) {
-    const uint32_t h = hash_tail(text + e);
-    for (int32_t j = head[h]; j >= 0; j = nxt[j]) {
-      if (memcmp(text + e - m + 1, patterns + (int64_t)j * m, (size_t)m) == 0) {
-        ++count;
-        break;
+  // scan window ends [m-1, n) split across threads (disjoint end ranges sum
+  // exactly — each end is owned by one thread)
+  auto scan_range = [&](int64_t e0, int64_t e1, int64_t* out) {
+    int64_t c = 0;
+    for (int64_t e = e0; e < e1; ++e) {
+      const uint32_t h = hash_tail(text + e);
+      for (int32_t j = head[h]; j >= 0; j = nxt[j]) {
+        if (memcmp(text + e - m + 1, patterns + (int64_t)j * m,
+                   (size_t)m) == 0) {
+          ++c;
+          break;
+        }
       }
     }
+    *out = c;
+  };
+  const int64_t total_ends = n - (m - 1);
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t nt = hw ? (int64_t)hw : 1;
+  if (nt > total_ends / (1 << 16)) nt = total_ends / (1 << 16);  // small texts
+  if (nt <= 1) {
+    int64_t c = 0;
+    scan_range(m - 1, n, &c);
+    return c;
   }
+  std::vector<int64_t> partial(nt, 0);
+  std::vector<std::thread> threads;
+  const int64_t per = (total_ends + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; ++t) {
+    const int64_t e0 = m - 1 + t * per;
+    const int64_t e1 = std::min(n, e0 + per);
+    threads.emplace_back(scan_range, e0, e1, &partial[t]);
+  }
+  for (auto& th : threads) th.join();
+  for (int64_t t = 0; t < nt; ++t) count += partial[t];
   return count;
 }
 
