@@ -78,3 +78,16 @@ def test_dprint_in_pallas_interpret(capfd):
     assert dispatched, "dprint must route to pl.debug_print inside kernels"
     jax.effects_barrier()
     assert "cell=" in capfd.readouterr().out
+
+
+def test_top_level_scan():
+    import tpu_smatcher as ts
+    from tpu_smatcher.core import datagen
+    ab = ts.Alphabet.dna()
+    text = datagen.generate_text(30_000, ab, seed=71)
+    pats = datagen.generate_patterns(text, 30, 8, ab, seed=72)
+    r = ts.scan(text, pats, engine="fast", backend="xla", tile=1 << 12)
+    assert r["matches"] == datagen.count_matches(text, pats)
+    assert r["bytes"] == 30_000 and r["bytes_per_s"] > 0
+    r2 = ts.scan(text, pats, engine="wm", fastpath=False, tile=1 << 12)
+    assert r2["matches"] == r["matches"]
