@@ -87,14 +87,16 @@ def test_distributed_overflow_raises():
         dc.count(text)
 
 
-def test_row_slots_parameter_unblocks_dense_matches():
-    """Dense-match workloads can raise row_slots= instead of hitting a wall."""
+def test_dense_matches_handled_by_row_slot_retry():
+    """Dense-match workloads (128 candidates per 128-lane row, far beyond
+    the 8-slot default) succeed via the automatic full-row-budget retry;
+    only a true cap excess raises."""
     ab = Alphabet.protein()
     text = np.zeros(4_096, np.uint8)
     pats = PatternSet(np.zeros((1, 32), np.uint8), ab)
     truth = 4_096 - 32 + 1
-    small = make_fast(pats, backend="pallas", interpret=True)
+    eng = make_fast(pats, backend="pallas", interpret=True)
+    assert eng.count(text) == truth        # retries with row_slots=128
+    tight = make_fast(pats, backend="pallas", interpret=True, cap=1024)
     with pytest.raises(OverflowError):
-        small.count(text)                  # 128 candidates/row > 8 slots
-    big = make_fast(pats, backend="pallas", interpret=True, row_slots=128)
-    assert big.count(text) == truth
+        tight.count(text)                  # 4065 candidates > cap=1024

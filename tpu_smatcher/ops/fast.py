@@ -294,7 +294,11 @@ def compact_verify_retry(mask2d, tw, ft, *, cap, caprows, row_slots,
     matches alone exceed cap/4 — the mask and word view are reused on the
     (rare) retry.  Returns (count, overflowed) as python values."""
     caps = [cap // 2, cap] if cap >= 8192 else [cap]
-    for trial_cap in caps:
+    # final attempt at full per-row budget: dense-match corpora (planted
+    # hits, repetitive text) can exceed row_slots per 128-lane row while
+    # still fitting the cap — only a true cap excess should surface
+    trials = [(tc, row_slots) for tc in caps] + [(cap, 128)]
+    for trial_cap, row_slots in trials:
         idxs, o = compact_mask(mask2d, caprows=min(caprows, trial_cap),
                                cap=trial_cap, row_slots=row_slots)
         c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
