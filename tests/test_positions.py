@@ -74,3 +74,19 @@ def test_engine_positions_fp_tier():
     for name in ("sh", "wm"):
         eng = make_engine(name, pats, interpret=True)
         np.testing.assert_array_equal(eng.positions(text), want)
+
+
+def test_distributed_positions():
+    """Per-shard compaction + global offsets equals the oracle positions."""
+    from tpu_smatcher.parallel import make_mesh
+    from tpu_smatcher.parallel.dist import DistributedPositions
+    mesh = make_mesh(4)
+    for sigma, m in [(4, 8), (20, 32)]:
+        ab = Alphabet.of_size(sigma)
+        text = datagen.generate_text(60_005, ab, seed=45)
+        pats = datagen.generate_patterns(text, 50, m, ab, frac_present=0.6,
+                                         seed=46)
+        fast = make_fast(pats, backend="pallas", interpret=True)
+        dp = DistributedPositions(fast, mesh)
+        np.testing.assert_array_equal(dp.positions(text),
+                                      _positions_oracle(text, pats))

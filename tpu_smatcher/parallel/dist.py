@@ -51,18 +51,9 @@ class DistributedCounter:
         self.axis = axis
         k = mesh.shape[axis]
         halo = m - 1
-        perm = [((i + 1) % k, i) for i in range(k)]   # right neighbor -> me
 
         def local_count(local):                        # (per,) on each device
-            if halo > 0:
-                edge = jax.lax.slice(local, (0,), (halo,))
-                recv = jax.lax.ppermute(edge, axis, perm)
-                idx = jax.lax.axis_index(axis)
-                recv = jnp.where(idx == k - 1,
-                                 jnp.full((halo,), sigma, local.dtype), recv)
-                ext = jnp.concatenate([local, recv])
-            else:
-                ext = local
+            ext = exchange_halo(local, axis=axis, k=k, halo=halo, sigma=sigma)
             res = core_fn(ext)
             c, o = res if isinstance(res, tuple) else (res, jnp.int32(0))
             return jax.lax.psum(jnp.stack([jnp.int32(c), jnp.int32(o)]), axis)
@@ -94,3 +85,88 @@ class DistributedCounter:
             raise OverflowError(
                 "candidate cap exceeded on some shard; raise cap=/row_slots=")
         return int(co[0])
+
+
+def exchange_halo(local, *, axis: str, k: int, halo: int, sigma: int):
+    """Append the right neighbor's first `halo` bytes to this shard (one
+    cyclic ppermute over ICI); the last shard gets the out-of-alphabet pad."""
+    if halo <= 0:
+        return local
+    edge = jax.lax.slice(local, (0,), (halo,))
+    perm = [((i + 1) % k, i) for i in range(k)]
+    recv = jax.lax.ppermute(edge, axis, perm)
+    idx = jax.lax.axis_index(axis)
+    recv = jnp.where(idx == k - 1, jnp.full((halo,), sigma, local.dtype), recv)
+    return jnp.concatenate([local, recv])
+
+
+class DistributedPositions:
+    """Mesh-distributed match-position reporting over the shared fast path.
+
+    Each device runs the mask kernel + hierarchical compaction (+ word
+    verification on the fingerprint tier) on its own shard, converts local
+    starts to global positions (device i owns starts [i*per, (i+1)*per)),
+    and the per-device (cap,) position arrays concatenate along the mesh
+    axis.  Overflow rides a psum and raises — never a truncated result.
+    """
+
+    def __init__(self, fast, mesh, *, axis: str = DATA_AXIS):
+        from tpu_smatcher.ops import pallas_filter as pf
+        from tpu_smatcher.ops.fast import (
+            compact_mask, stages_for, verify_matched_at, words_len)
+        ft = fast.ft
+        if ft.sigma >= 256:
+            raise ValueError("distributed scans need sigma <= 255")
+        self.mesh = mesh
+        self.m = ft.m
+        self.sigma = ft.sigma
+        self.axis = axis
+        k = mesh.shape[axis]
+        halo = ft.m - 1
+
+        def local_positions(local):               # (per,) per device
+            per = local.shape[0]
+            ext = exchange_halo(local, axis=axis, k=k, halo=halo,
+                                sigma=ft.sigma)
+            n = ext.shape[0]                      # static: per + m - 1
+            if ft.exact:
+                mask2d = pf.exact_mask_pallas(ext, ft.bitmaps[0], m=ft.m,
+                                              sigma=ft.sigma, n=n,
+                                              interpret=fast.interpret)
+                idxs, o = compact_mask(mask2d, caprows=fast.caprows,
+                                       cap=fast.cap, row_slots=128)
+                matched = idxs >= 0
+            else:
+                kst = stages_for(ft, n, fast.cap)
+                mask2d = pf.filter_mask_pallas(ext, ft.bitmaps[:kst], m=ft.m,
+                                               n=n, n_stages=kst,
+                                               interpret=fast.interpret)
+                idxs, o = compact_mask(mask2d, caprows=fast.caprows,
+                                       cap=fast.cap, row_slots=128)
+                tw = pf.words_view_pallas(ext, nw=words_len(n, ft.words),
+                                          interpret=fast.interpret)
+                matched = verify_matched_at(
+                    tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                    m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
+                    n_starts=n - ft.m + 1, slot_ok=ft.slot_ok) & (idxs >= 0)
+            base = jax.lax.axis_index(axis) * per
+            pos = jnp.where(matched, idxs + base, -1)
+            return pos, jax.lax.psum(jnp.int32(o), axis)
+
+        self._fn = jax.jit(shard_map(
+            local_positions, mesh=mesh, in_specs=P(axis),
+            out_specs=(P(axis), P()), check_vma=False))
+
+    def positions(self, text):
+        import numpy as np
+        if isinstance(text, np.ndarray):
+            sharded, _ = shard_text(text, self.mesh, sigma=self.sigma,
+                                    axis=self.axis)
+        else:
+            sharded = text
+        pos, o = self._fn(sharded)
+        pos = np.asarray(pos)
+        if int(np.asarray(o)):
+            raise OverflowError(
+                "candidate cap exceeded on some shard; raise cap=")
+        return np.sort(pos[pos >= 0]).astype(np.int64)
