@@ -207,9 +207,14 @@ def run_engine(name, text, pats, args):
                 count = scanner.count(tdev)
                 times.append(time.time() - t0)
         t_scan = min(times)
-    if args.positions and name == "fast" and args.devices == 1:
+    if args.positions and name == "fast":
         try:
-            pos = scanner.positions(tdev)
+            if args.devices > 1:
+                from tpu_smatcher.parallel.dist import DistributedPositions
+                eng_fp = make_fast(pats, backend=args.backend)
+                pos = DistributedPositions(eng_fp, scanner.mesh).positions(tdev)
+            else:
+                pos = scanner.positions(tdev)
         except NotImplementedError as e:
             print(f"--positions skipped: {e}", file=sys.stderr)
         else:
@@ -228,6 +233,18 @@ def run_engine(name, text, pats, args):
 
 
 def main(argv=None):
+    # the axon sitecustomize sets jax.config.jax_platforms programmatically,
+    # overriding the JAX_PLATFORMS env var — re-apply it so CPU-mesh runs
+    # requested via the environment actually land on CPU (same shim as
+    # __graft_entry__.dryrun_multichip)
+    import os
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        try:
+            import jax
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
     args = build_parser().parse_args(argv)
     text, pats, t_read = load_inputs(args)
 

@@ -117,6 +117,8 @@ class DistributedPositions:
         ft = fast.ft
         if ft.sigma >= 256:
             raise ValueError("distributed scans need sigma <= 255")
+        # the position pipeline is Pallas-only; off-TPU it must interpret
+        interpret = bool(fast.interpret or jax.default_backend() != "tpu")
         self.mesh = mesh
         self.m = ft.m
         self.sigma = ft.sigma
@@ -132,7 +134,7 @@ class DistributedPositions:
             if ft.exact:
                 mask2d = pf.exact_mask_pallas(ext, ft.bitmaps[0], m=ft.m,
                                               sigma=ft.sigma, n=n,
-                                              interpret=fast.interpret)
+                                              interpret=interpret)
                 idxs, o = compact_mask(mask2d, caprows=fast.caprows,
                                        cap=fast.cap, row_slots=128)
                 matched = idxs >= 0
@@ -140,11 +142,11 @@ class DistributedPositions:
                 kst = stages_for(ft, n, fast.cap)
                 mask2d = pf.filter_mask_pallas(ext, ft.bitmaps[:kst], m=ft.m,
                                                n=n, n_stages=kst,
-                                               interpret=fast.interpret)
+                                               interpret=interpret)
                 idxs, o = compact_mask(mask2d, caprows=fast.caprows,
                                        cap=fast.cap, row_slots=128)
                 tw = pf.words_view_pallas(ext, nw=words_len(n, ft.words),
-                                          interpret=fast.interpret)
+                                          interpret=interpret)
                 matched = verify_matched_at(
                     tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
                     m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
