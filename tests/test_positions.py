@@ -81,10 +81,12 @@ def test_distributed_positions():
     from tpu_smatcher.parallel import make_mesh
     from tpu_smatcher.parallel.dist import DistributedPositions
     mesh = make_mesh(4)
-    for sigma, m in [(4, 8), (20, 32)]:
+    # small corpora: interpret-mode Pallas per shard is slow, and straggling
+    # shards can trip XLA's collective-rendezvous timeout in CI
+    for sigma, m, n in [(4, 8, 12_005), (20, 32, 4_005)]:
         ab = Alphabet.of_size(sigma)
-        text = datagen.generate_text(60_005, ab, seed=45)
-        pats = datagen.generate_patterns(text, 50, m, ab, frac_present=0.6,
+        text = datagen.generate_text(n, ab, seed=45)
+        pats = datagen.generate_patterns(text, 30, m, ab, frac_present=0.6,
                                          seed=46)
         fast = make_fast(pats, backend="pallas", interpret=True)
         dp = DistributedPositions(fast, mesh)

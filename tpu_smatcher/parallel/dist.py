@@ -153,11 +153,14 @@ class DistributedPositions:
                     n_starts=n - ft.m + 1, slot_ok=ft.slot_ok) & (idxs >= 0)
             base = jax.lax.axis_index(axis) * per
             pos = jnp.where(matched, idxs + base, -1)
-            return pos, jax.lax.psum(jnp.int32(o), axis)
+            # overflow flags stay per-device (summed on host): an extra
+            # all-reduce makes slow/straggling shards (e.g. interpret mode)
+            # trip XLA's collective-rendezvous timeout
+            return pos, jnp.reshape(jnp.int32(o), (1,))
 
         self._fn = jax.jit(shard_map(
             local_positions, mesh=mesh, in_specs=P(axis),
-            out_specs=(P(axis), P()), check_vma=False))
+            out_specs=(P(axis), P(axis)), check_vma=False))
 
     def positions(self, text):
         import numpy as np
@@ -168,7 +171,7 @@ class DistributedPositions:
             sharded = text
         pos, o = self._fn(sharded)
         pos = np.asarray(pos)
-        if int(np.asarray(o)):
+        if int(np.asarray(o).sum()):
             raise OverflowError(
                 "candidate cap exceeded on some shard; raise cap=")
         return np.sort(pos[pos >= 0]).astype(np.int64)
