@@ -1,0 +1,63 @@
+"""Extended randomized conformance soak (beyond the in-suite fuzz).
+
+60 random (sigma, m, p, n, planted-fraction) configs through the fast path
+on both backends, a random engine, the native CPU oracle, and periodic
+4-device distributed scans — all against the numpy ground truth.  Run on
+CPU; ~15 min.  Exits loudly on any mismatch.
+"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np, sys
+sys.path.insert(0, "/root/repo")
+from tpu_smatcher.core.alphabet import Alphabet
+from tpu_smatcher.core import datagen
+from tpu_smatcher.engines import make_engine, make_fast
+from tpu_smatcher.parallel import make_mesh
+from tpu_smatcher.parallel.dist import DistributedCounter
+
+rng = np.random.default_rng(987)
+fails = 0
+for trial in range(60):
+    sigma = int(rng.choice([2, 4, 8, 20, 128, 256]))
+    m = int(rng.choice([3, 4, 6, 8, 12, 16, 24, 32, 48, 64]))
+    p = int(rng.integers(1, 200))
+    n = int(rng.integers(m, 50_000))
+    frac = float(rng.uniform(0, 1))
+    ab = Alphabet.of_size(sigma)
+    text = datagen.generate_text(n, ab, seed=trial)
+    pats = datagen.generate_patterns(text, p, m, ab, frac_present=frac, seed=trial + 1)
+    truth = datagen.count_matches(text, pats)
+    truth_nat = datagen.count_matches(text, pats, prefer_native=True)
+    ok = True
+    try:
+        if truth_nat != truth:
+            ok = False; print(f"[{trial}] NATIVE ORACLE {truth_nat} != {truth} ({sigma},{m},{p},{n})")
+        got = make_fast(pats, backend="xla", tile=1 << 12).count(text)
+        if got != truth:
+            ok = False; print(f"[{trial}] fast-xla {got} != {truth} ({sigma},{m},{p},{n})")
+        got = make_fast(pats, backend="pallas", interpret=True).count(text)
+        if got != truth:
+            ok = False; print(f"[{trial}] fast-pallas {got} != {truth} ({sigma},{m},{p},{n})")
+        names = ["wm", "sh", "sbom"] + (["ac"] if True else [])
+        name = str(rng.choice(names))
+        eng = make_engine(name, pats, interpret=(trial % 2 == 0), fastpath=(trial % 2 == 0), tile=1 << 12)
+        got = eng.count(text)
+        if got != truth:
+            ok = False; print(f"[{trial}] {name} {got} != {truth} ({sigma},{m},{p},{n})")
+        if sigma < 256 and trial % 5 == 0:
+            mesh = make_mesh(4)
+            k = mesh.shape["data"]
+            if -(-n // k) >= m - 1:
+                dc = DistributedCounter(make_fast(pats, backend="xla", tile=1 << 12).core,
+                                        mesh, m=m, sigma=sigma)
+                got = dc.count(text)
+                if got != truth:
+                    ok = False; print(f"[{trial}] dist {got} != {truth} ({sigma},{m},{p},{n})")
+    except Exception as e:
+        ok = False; print(f"[{trial}] EXC ({sigma},{m},{p},{n}): {type(e).__name__} {str(e)[:150]}")
+    fails += (not ok)
+    if trial % 10 == 9:
+        print(f"...{trial+1}/60 done, {fails} failures", flush=True)
+print("SOAK", "FAILED" if fails else "PASSED", fails)
