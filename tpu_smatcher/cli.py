@@ -207,20 +207,27 @@ def run_engine(name, text, pats, args):
                 count = scanner.count(tdev)
                 times.append(time.time() - t0)
         t_scan = min(times)
-    if args.positions and name == "fast":
+    if args.positions:
         try:
             if args.devices > 1:
+                if name != "fast":
+                    raise NotImplementedError(
+                        "distributed --positions runs on the fast engine "
+                        "only (counts are identical across engines)")
                 from tpu_smatcher.parallel.dist import DistributedPositions
                 eng_fp = make_fast(pats, backend=args.backend)
                 pos = DistributedPositions(eng_fp, scanner.mesh).positions(tdev)
-            else:
+            elif name == "fast":
                 pos = scanner.positions(tdev)
+            else:
+                from tpu_smatcher.ops.common import fastpath_positions
+                pos = fastpath_positions(scanner, tdev)
         except NotImplementedError as e:
-            print(f"--positions skipped: {e}", file=sys.stderr)
+            print(f"--positions skipped ({name}): {e}", file=sys.stderr)
         else:
             np.save(args.positions, pos)
             if not args.json:
-                print(f"[fast ] {pos.size} match positions -> {args.positions}")
+                print(f"[{name:5s}] {pos.size} match positions -> {args.positions}")
 
     return {
         "engine": name,

@@ -19,9 +19,14 @@ import numpy as np
 def active_fastpath(scanner):
     """The engine's Pallas fast path, when attached (engines.make_engine)
     and applicable: always in interpret mode (tests), else on TPU backends.
-    The jnp paths remain the portable/CPU reference implementation."""
+    The jnp paths remain the portable/CPU reference implementation.
+
+    Patterns longer than the overlapped-row layout supports fall back to
+    the jnp scan transparently (mirrors FastScanner.count_with_overflow)."""
+    from tpu_smatcher.ops.pallas_filter import max_fast_m
     fp = getattr(scanner, "fast_path", None)
-    if fp is not None and (fp.interpret or jax.default_backend() == "tpu"):
+    if (fp is not None and fp.m <= max_fast_m()
+            and (fp.interpret or jax.default_backend() == "tpu")):
         return fp
     return None
 

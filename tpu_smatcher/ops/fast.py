@@ -279,8 +279,11 @@ def nonzero_scatter(mask, size: int, fill: int):
     n = mask.shape[0]
     m32 = mask.astype(jnp.int32)
     cum = jnp.cumsum(m32)
-    pos = jnp.where(m32 > 0, cum - 1, size)          # out-of-bounds -> drop
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
+    # dropped indices are made DISTINCT (size + iota) so unique_indices=True
+    # is honest — with a shared out-of-bounds index the mode="drop" result is
+    # only implementation-defined
+    pos = jnp.where(m32 > 0, cum - 1, size + iota)
     out = jnp.full((size,), fill, jnp.int32)
     return out.at[pos].set(iota, mode="drop", unique_indices=True)
 
@@ -501,9 +504,10 @@ class FastScanner:
         from tpu_smatcher.ops.common import check_count32
         text = jnp.asarray(text, jnp.uint8)
         check_count32(int(text.shape[0]))
-        # the Pallas overlapped-row layout supports m <= 129; longer
-        # patterns fall back to the tiled XLA path transparently
-        if self.backend == "pallas" and self.m <= 129:
+        # patterns longer than the Pallas overlapped-row layout supports
+        # fall back to the tiled XLA path transparently
+        from tpu_smatcher.ops.pallas_filter import max_fast_m
+        if self.backend == "pallas" and self.m <= max_fast_m():
             return self._count_pallas(text)
         c, o = self._jit(text)
         return int(c), bool(o)

@@ -42,6 +42,13 @@ DEFAULT_RB = 512         # rows per grid block: (512, 256) uint8 tile = 128 KiB
 FILTER_RB = 256          # filter kernel needs headroom for per-stage temps
 
 
+def max_fast_m() -> int:
+    """Longest pattern the overlapped-row Pallas layout supports; callers
+    (FastScanner, ops.common.active_fastpath) fall back to the jnp/XLA scan
+    beyond this."""
+    return LANES + 1
+
+
 def overlap_rows(text: jnp.ndarray, n: int, m: int, rb: int = DEFAULT_RB) -> tuple[jnp.ndarray, int]:
     """(R, 256) uint8 overlapped layout; R padded to a multiple of rb.
 

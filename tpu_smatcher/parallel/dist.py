@@ -107,7 +107,9 @@ class DistributedPositions:
     verification on the fingerprint tier) on its own shard, converts local
     starts to global positions (device i owns starts [i*per, (i+1)*per)),
     and the per-device (cap,) position arrays concatenate along the mesh
-    axis.  Overflow rides a psum and raises — never a truncated result.
+    axis.  Per-device overflow flags are returned alongside (summed on the
+    host, not psum-ed — see the comment in local_positions) and raise —
+    never a truncated result.
     """
 
     def __init__(self, fast, mesh, *, axis: str = DATA_AXIS):
