@@ -23,9 +23,34 @@ def _case():
 
 def test_single_device_jnp_engines_no_pad_wrap():
     text, pats = _case()
-    for name in ("wm", "sh", "sbom", "sog8"):
+    for name in ("wm", "sh", "sbom", "sog8", "ac"):
         eng = make_engine(name, pats, fastpath=False, tile=1 << 8)
         assert eng.count(text) == 0, name
+
+
+def test_jnp_ac_byte_alphabet_positional_mask():
+    """The jnp AC scan masks finals by position: exact at sigma=256, where
+    the lane pad wraps to the REAL byte 255 (ops/ac.py:segment)."""
+    ab = Alphabet.byte()
+    text = np.full(1001, 0xFF, np.uint8)
+    # all-255 pattern: the pad value itself — fake finals on padded tails
+    # would overcount without the positional mask
+    pats = PatternSet(np.full((1, 8), 255, np.uint8), ab)
+    eng = make_engine("ac", pats, fastpath=False, lanes=64)
+    assert eng.count(text) == 1001 - 7
+    assert int(eng.match_ends(text).sum()) == 1001 - 7
+
+    text2 = datagen.generate_text(20_000, ab, seed=91)
+    pats2 = datagen.generate_patterns(text2, 30, 8, ab, frac_present=0.6,
+                                      seed=92)
+    truth = datagen.count_matches(text2, pats2)
+    eng2 = make_engine("ac", pats2, fastpath=False, lanes=64)
+    assert eng2.count(text2) == truth
+
+    # q>1 composed tables still need the sentinel — documented raise
+    eng3 = make_engine("ac", pats2, fastpath=False, lanes=64, q=2)
+    with pytest.raises(ValueError):
+        eng3.count(text2)
 
 
 def test_single_device_counts_real_matches():
@@ -37,13 +62,6 @@ def test_single_device_counts_real_matches():
         eng = make_engine(name, pats, fastpath=False, tile=1 << 10)
         assert eng.count(text) == truth, name
     assert make_fast(pats, backend="xla", tile=1 << 10).count(text) == truth
-
-
-def test_ac_jnp_sigma256_raises_clearly():
-    text, pats = _case()
-    eng = make_engine("ac", pats, fastpath=False)
-    with pytest.raises(ValueError, match="uint8"):
-        eng.count(text)
 
 
 def test_distribution_rejects_sigma256():

@@ -27,9 +27,16 @@ from tpu_smatcher.ops.common import cdiv
 
 
 def segment(text: jnp.ndarray, n: int, *, lanes: int, m: int, sigma: int) -> jnp.ndarray:
-    """(lanes, seg + m - 1) uint8 overlapped segments, right-padded with sigma."""
+    """(lanes, seg + m - 1) uint8 overlapped segments, right-padded.
+
+    The pad value is the out-of-alphabet sentinel where one exists
+    (sigma <= 255); for the byte alphabet it wraps to 255 (a real char) and
+    the scan cores mask pad positions by GLOBAL POSITION instead — pads are
+    always a suffix of a lane's stream, so a final firing at a real
+    position can never have consumed a pad byte."""
     seg = max(1, cdiv(n, lanes))
-    padded = jnp.full((lanes * seg + m - 1,), sigma, jnp.uint8).at[:n].set(text[:n])
+    pad = min(sigma, 255)
+    padded = jnp.full((lanes * seg + m - 1,), pad, jnp.uint8).at[:n].set(text[:n])
     main = padded[: lanes * seg].reshape(lanes, seg)
     halo_idx = (jnp.arange(lanes) * seg)[:, None] + seg + jnp.arange(m - 1)[None, :]
     halo = padded[halo_idx.reshape(-1)].reshape(lanes, m - 1)
@@ -39,17 +46,27 @@ def segment(text: jnp.ndarray, n: int, *, lanes: int, m: int, sigma: int) -> jnp
 def ac_count_core(text: jnp.ndarray, dp_flat: jnp.ndarray, *, sig_p: int, m: int,
                   lanes: int) -> jnp.ndarray:
     """Traceable core (usable under jit and shard_map): total match count.
-    dp_flat: (S * sig_p,) int32 packed next*2|final."""
+    dp_flat: (S * sig_p,) int32 packed next*2|final.
+
+    Finals are masked by global position (< n): exact for every sigma
+    including 256, where no out-of-alphabet uint8 pad symbol exists
+    (pads are a per-lane suffix, so they can't influence real windows)."""
     n = text.shape[0]
     if n < m:
         return jnp.int32(0)
     tiles = segment(text, n, lanes=lanes, m=m, sigma=sig_p - 1).T  # (T, lanes)
+    seg = max(1, cdiv(n, lanes))
+    lane_base = jnp.arange(lanes, dtype=jnp.int32) * seg           # (lanes,)
 
-    def step(state, chars):
+    def step(carry, chars):
+        state, t = carry
         v = dp_flat[state * sig_p + chars]
-        return v >> 1, jnp.sum(v & 1, dtype=jnp.int32)
+        valid = (lane_base + t) < n
+        c = jnp.sum(jnp.where(valid, v & 1, 0), dtype=jnp.int32)
+        return (v >> 1, t + 1), c
 
-    _, counts = jax.lax.scan(step, jnp.zeros((lanes,), jnp.int32), tiles.astype(jnp.int32))
+    _, counts = jax.lax.scan(step, (jnp.zeros((lanes,), jnp.int32),
+                                    jnp.int32(0)), tiles.astype(jnp.int32))
     return jnp.sum(counts, dtype=jnp.int32)
 
 
@@ -140,12 +157,12 @@ class ACScanner:
         fp = active_fastpath(self)
         if fp is not None:
             return fp.count(text)
-        self._check_pad()
         text = jnp.asarray(text, jnp.uint8)
         n = int(text.shape[0])
         if self.q == 1:
             return int(ac_count(text, self.dp, sig_p=self.sig_p, m=self.m,
                                 lanes=self.lanes, n=n))
+        self._check_pad()
         return int(ac_count_q(text, self.tq, sig_p=self.sig_p, m=self.m,
                               lanes=self.lanes, n=n, q=self.q, cbits=self.cbits))
 
@@ -155,20 +172,18 @@ class ACScanner:
 
     def core(self, ext: jnp.ndarray) -> jnp.ndarray:
         """Traceable per-shard count (for shard_map distribution)."""
-        self._check_pad()
         return ac_count_core(ext, self.dp, sig_p=self.sig_p, m=self.m,
                              lanes=self.lanes)
 
     def _check_pad(self):
         if self.sig_p > 256:
             raise ValueError(
-                "the jnp AC scan pads lane halos with the out-of-alphabet "
-                "symbol sigma, which does not fit uint8 for sigma=256; use "
-                "the TPU fast path (or the shared fast engine) for the byte "
-                "alphabet")
+                "the q-step composed AC scan pads partial grams with the "
+                "out-of-alphabet symbol sigma, which does not fit uint8 for "
+                "sigma=256; use q=1 (positionally masked) or the TPU fast "
+                "path for the byte alphabet")
 
     def match_ends(self, text) -> np.ndarray:
-        self._check_pad()
         text = jnp.asarray(text, jnp.uint8)
         n = int(text.shape[0])
         return np.asarray(ac_match_ends(text, self.dp, sig_p=self.sig_p,
