@@ -51,24 +51,28 @@ def main():
     B = ft.stage_bits // 4096
     print(f"k={k} B={B} density={ft.density:.3f}", flush=True)
 
+    # fetch only a scalar: hauling the full mask through the axon tunnel
+    # costs minutes and measures the link, not the device
     first = lambda x: np.asarray(x if not isinstance(x, tuple) else x[0])
+    red = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
+    small = lambda x: int(red(x if not isinstance(x, tuple) else x[0]))
 
     # filter kernel at the production stage count
     f_full = lambda: pf.filter_mask_pallas(tdev, ft.bitmaps[:k], m=m, n=n,
                                            n_stages=k)
-    dt = steady(f_full, first)
+    dt = steady(f_full, small)
     print(f"filter k={k}: {dt*1e3:.1f} ms", flush=True)
 
     # stage scaling: k=1 and k=4 isolate per-stage cost
     for kk in (1, 4):
         f = lambda: pf.filter_mask_pallas(tdev, ft.bitmaps[:kk], m=m, n=n,
                                           n_stages=kk)
-        dt = steady(f, first)
+        dt = steady(f, small)
         print(f"filter k={kk}: {dt*1e3:.1f} ms", flush=True)
 
     # words view
     f = lambda: pf.words_view_pallas(tdev, nw=words_len(n, ft.words))
-    dt = steady(f, first)
+    dt = steady(f, small)
     print(f"words_view: {dt*1e3:.1f} ms", flush=True)
 
     mask2d = jax.block_until_ready(
@@ -78,7 +82,7 @@ def main():
     # compact at half cap (the optimistic first trial)
     cap = eng.cap // 2
     f = lambda: compact_mask(mask2d, caprows=cap, cap=cap, row_slots=8)
-    dt = steady(f, first)
+    dt = steady(f, small)
     print(f"compact cap={cap}: {dt*1e3:.1f} ms", flush=True)
 
     idxs, o = compact_mask(mask2d, caprows=cap, cap=cap, row_slots=8)

@@ -170,6 +170,14 @@ class ACScanner:
         from tpu_smatcher.ops.common import fastpath_positions
         return fastpath_positions(self, text)
 
+    def count_async(self, text):
+        from tpu_smatcher.ops.common import fastpath_count_async
+        return fastpath_count_async(self, text)
+
+    def scan_many(self, texts):
+        from tpu_smatcher.ops.common import fastpath_scan_many
+        return fastpath_scan_many(self, texts)
+
     def core(self, ext: jnp.ndarray) -> jnp.ndarray:
         """Traceable per-shard count (for shard_map distribution)."""
         return ac_count_core(ext, self.dp, sig_p=self.sig_p, m=self.m,

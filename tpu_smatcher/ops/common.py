@@ -40,6 +40,23 @@ def fastpath_positions(scanner, text):
     return fp.positions(text)
 
 
+def fastpath_count_async(scanner, text):
+    """count_async via the engine's fast path when active; otherwise a
+    pre-resolved future around the synchronous count (uniform API)."""
+    fp = active_fastpath(scanner)
+    if fp is not None:
+        return fp.count_async(text)
+    from tpu_smatcher.ops.fast import ScanFuture
+    return ScanFuture(jnp.int32(scanner.count(text)), jnp.int32(0))
+
+
+def fastpath_scan_many(scanner, texts):
+    """Pipelined batch counts through the engine's fast path (or the
+    synchronous fallback when no fast path is active)."""
+    return [f.result()
+            for f in [fastpath_count_async(scanner, t) for t in texts]]
+
+
 def check_count32(n: int) -> None:
     """Counts are int32 end-to-end (per-lane accumulators, SMEM scalars,
     psum); a single scan over >= 2^31 window starts could wrap.  Callers

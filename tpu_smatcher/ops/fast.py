@@ -455,6 +455,32 @@ def _verify_matched(text_words, idxs, bucket_ids, packed, bucket_fp2, *, m,
     return matched
 
 
+class ScanFuture:
+    """Handle for an in-flight device scan (count_async/scan_many).
+
+    The count and overflow flag stay on the device until result() is
+    called, so many scans can be queued back-to-back and pay the host
+    round-trip once — the reference amortizes per-kernel timing the same
+    way across reps (cuda/cuda_wm.cu:269-302).  On candidate-cap overflow
+    result() transparently re-runs the synchronous retry path (exact
+    counts, never an undercount)."""
+
+    __slots__ = ("_co", "_retry")
+
+    def __init__(self, count_dev, overflow_dev, retry=None):
+        self._co = jnp.stack([jnp.int32(count_dev), jnp.int32(overflow_dev)])
+        self._retry = retry
+
+    def result(self) -> int:
+        co = np.asarray(self._co)
+        if co[1]:
+            if self._retry is None:
+                raise OverflowError(
+                    "candidate cap exceeded; raise cap=/row_slots=")
+            return self._retry()
+        return int(co[0])
+
+
 class FastScanner:
     """Shared fast backend; counts equal every engine's count.
 
@@ -479,6 +505,8 @@ class FastScanner:
         self.backend = backend
         self._jit = jax.jit(functools.partial(
             fast_count_core, ft=ft, tile=tile, cap=cap))
+        self._jdevice = None           # lazy: count_async's jitted scan
+        self._jdevice_pallas = None
 
     def _count_pallas(self, text) -> tuple[int, bool]:
         from tpu_smatcher.ops import pallas_filter as pf
@@ -520,23 +548,87 @@ class FastScanner:
                 "dense-match workloads) or use backend='xla'")
         return c
 
-    def count_file(self, path: str, *, chunk: int = 1 << 28) -> int:
+    def _device_count(self, text):
+        """Traceable (count, overflow) over the whole text — the device-only
+        scan behind count_async (single compact pass, no host round trips)."""
+        n = text.shape[0]
+        ft = self.ft
+        if self.backend != "pallas":
+            return fast_count_core(text, ft, tile=self.tile, cap=self.cap)
+        from tpu_smatcher.ops import pallas_filter as pf
+        if n < ft.m:
+            return jnp.int32(0), jnp.int32(0)
+        if ft.exact:
+            return (pf.exact_count_pallas(text, ft.bitmaps[0], m=ft.m,
+                                          sigma=ft.sigma, n=n,
+                                          interpret=self.interpret),
+                    jnp.int32(0))
+        k = stages_for(ft, n, self.cap)
+        mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
+                                       n_stages=k, interpret=self.interpret)
+        idxs, o = compact_mask(mask2d, caprows=min(self.caprows, self.cap),
+                               cap=self.cap, row_slots=self.row_slots)
+        tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
+                                  interpret=self.interpret)
+        c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                      m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
+                      n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+        return c, jnp.int32(o)
+
+    def count_async(self, text) -> ScanFuture:
+        """Dispatch a scan and return immediately; the count stays on the
+        device until ScanFuture.result().  Queue many scans back-to-back to
+        amortize the host round-trip (the public count() syncs per call —
+        over a tunneled link that sync dominates small-corpus scans)."""
+        from tpu_smatcher.ops.common import check_count32
+        from tpu_smatcher.ops.pallas_filter import max_fast_m
+        text = jnp.asarray(text, jnp.uint8)
+        check_count32(int(text.shape[0]))
+        if self._jdevice is None or self._jdevice_pallas != (
+                self.backend == "pallas" and self.m <= max_fast_m()):
+            self._jdevice_pallas = (self.backend == "pallas"
+                                    and self.m <= max_fast_m())
+            if self._jdevice_pallas:
+                self._jdevice = jax.jit(self._device_count)
+            else:
+                self._jdevice = self._jit      # tiled XLA path
+        c, o = self._jdevice(text)
+        return ScanFuture(c, o, retry=functools.partial(self.count, text))
+
+    def scan_many(self, texts) -> list[int]:
+        """Counts for a batch of texts, pipelined: all scans are dispatched
+        before any result is fetched, so N scans cost N device-times plus
+        ONE host round-trip instead of N.  Equal-length texts reuse one
+        compiled program (jit caches per shape)."""
+        return [f.result() for f in [self.count_async(t) for t in texts]]
+
+    def count_file(self, path: str, *, chunk: int = 1 << 28,
+                   depth: int = 3) -> int:
         """Stream a pre-encoded corpus file through the scanner in `chunk`
         byte pieces without loading it fully: piece i is scanned over
         [i*chunk, (i+1)*chunk + m - 1) so every window start belongs to
         exactly one piece (the same (m-1)-halo partition the reference uses
-        across MPI ranks, main.c:463-477, applied to disk IO)."""
+        across MPI ranks, main.c:463-477, applied to disk IO).
+
+        Pipelined: up to `depth` pieces are in flight, so disk reads, the
+        host->device copies, and the device scans overlap; every interior
+        piece has identical shape and reuses one compiled program."""
         import os
         size = os.path.getsize(path)
         mm = np.memmap(path, dtype=np.uint8, mode="r")
         total = 0
+        inflight: list[ScanFuture] = []
         for start in range(0, max(size - self.m + 1, 1), chunk):
             stop = min(size, start + chunk + self.m - 1)
             piece = np.asarray(mm[start:stop])
             # an interior piece has length chunk + m - 1, so its window
             # starts [0, chunk) are exactly the owned ones; the final piece
             # ends at EOF and owns its remaining starts
-            total += self.count(piece)
+            inflight.append(self.count_async(piece))
+            if len(inflight) >= depth:
+                total += inflight.pop(0).result()
+        for f in inflight:
+            total += f.result()
         return total
 
     def positions(self, text) -> np.ndarray:

@@ -31,7 +31,8 @@ from tpu_smatcher.automata.sbom import SBOMTables
 from tpu_smatcher.automata.wu import WMTables
 from tpu_smatcher.automata.sog import SOGTables, SOG_B
 from tpu_smatcher.automata.verify import VerifyTables
-from tpu_smatcher.ops.common import (active_fastpath, fastpath_positions,
+from tpu_smatcher.ops.common import (active_fastpath, fastpath_count_async,
+                                     fastpath_positions, fastpath_scan_many,
                                      pad_col, tiled_count, verify_starts)
 
 DEFAULT_TILE = 1 << 20
@@ -209,6 +210,12 @@ class WMScanner:
     def positions(self, text):
         return fastpath_positions(self, text)
 
+    def count_async(self, text):
+        return fastpath_count_async(self, text)
+
+    def scan_many(self, texts):
+        return fastpath_scan_many(self, texts)
+
     def core(self, ext):
         return wm_count_core(ext, self.shift_ext, self.packed, self.bucket_ids,
                              sigma=self.sigma, m=self.m, lmax=self.lmax, tile=self.tile)
@@ -233,6 +240,12 @@ class SOGScanner:
     def positions(self, text):
         return fastpath_positions(self, text)
 
+    def count_async(self, text):
+        return fastpath_count_async(self, text)
+
+    def scan_many(self, texts):
+        return fastpath_scan_many(self, texts)
+
     def core(self, ext):
         return sog_count_core(ext, self.t_table, self.packed, self.bucket_ids,
                               sigma=self.sigma, m=self.m, lmax=self.lmax, tile=self.tile)
@@ -254,6 +267,12 @@ class SHScanner:
 
     def positions(self, text):
         return fastpath_positions(self, text)
+
+    def count_async(self, text):
+        return fastpath_count_async(self, text)
+
+    def scan_many(self, texts):
+        return fastpath_scan_many(self, texts)
 
     def core(self, ext):
         return sh_count_core(ext, self.trans, self.final,
@@ -279,6 +298,12 @@ class SBOMScanner:
 
     def positions(self, text):
         return fastpath_positions(self, text)
+
+    def count_async(self, text):
+        return fastpath_count_async(self, text)
+
+    def scan_many(self, texts):
+        return fastpath_scan_many(self, texts)
 
     def core(self, ext):
         return sbom_count_core(ext, self.trans, self.final_count, self.packed,

@@ -299,6 +299,20 @@ class EngineFastPath:
         (parallel/dist.py psums both and raises on overflow)."""
         return self._count_impl(ext, guard=True)
 
+    def count_async(self, text):
+        """Dispatch a device-only scan; result stays on device until
+        ScanFuture.result() (see ops/fast.py — same pipelining contract)."""
+        from tpu_smatcher.ops.common import check_count32
+        from tpu_smatcher.ops.fast import ScanFuture
+        text = jnp.asarray(text, jnp.uint8)
+        check_count32(int(text.shape[0]))
+        c, o = self._jcount(text)
+        return ScanFuture(c, o, retry=functools.partial(self.count, text))
+
+    def scan_many(self, texts) -> list[int]:
+        """Pipelined batch counts: dispatch all, fetch once (ops/fast.py)."""
+        return [f.result() for f in [self.count_async(t) for t in texts]]
+
     def positions(self, text) -> np.ndarray:
         """Sorted start positions of all matching windows (cap-bounded)."""
         from tpu_smatcher.ops.fast import verify_matched_at
