@@ -1,10 +1,24 @@
-"""Headline benchmark: AC-engine scan throughput on a synthetic EST-like DNA
-corpus (sigma=4), m=8, 10k patterns — the reference's flagship configuration
-(BASELINE.json: ">= 2 GB/s/chip AC scan with exact match parity").
+"""Headline benchmark: scan throughput on a synthetic EST-like DNA corpus
+(sigma=4), 10k patterns — the reference's flagship configuration
+(BASELINE.json: ">= 2 GB/s/chip AC scan with exact match parity", EST
+corpus, m=8-32, 10k patterns; sweep space /root/reference/execute.sh:8-16).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 2e9 (the driver-set 2 GB/s/chip target).
-Diagnostics go to stderr.
+Two tiers are measured, covering the full BASELINE m range:
+  - m=8:  the exact window-id tier (sigma^m <= 2^16)
+  - m=32: the fingerprint-filter + word-verify tier
+
+Prints ONE JSON line whose primary fields are the exact-tier scan
+({"metric", "value", "unit", "vs_baseline"}), with the fingerprint tier as
+additional fields (fp_m32_value / fp_m32_vs_baseline) so regressions on
+either tier are visible in the recorded BENCH_r*.json.  vs_baseline is
+value / 2e9 (the driver-set 2 GB/s/chip target).  Diagnostics on stderr.
+
+Methodology: queue `QUEUE` scans via count_async and fetch one result —
+a per-scan host sync would measure the host<->device round-trip (~30 ms
+over the axon tunnel), not device throughput; production pipelines stream
+scans back-to-back (ScanFuture), which is what this measures.
+per-scan = (time of (dispatch + k scans + fetch) -
+            time of (dispatch + 1 scan + fetch)) / (k - 1).
 """
 import json
 import os
@@ -18,6 +32,24 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+QUEUE = 9
+
+
+def steady_rate(eng, tdev, n, reps):
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        fs = [eng.count_async(tdev) for _ in range(QUEUE)]
+        c = fs[-1].result()
+        t_many = time.time() - t0
+        t0 = time.time()
+        c = eng.count_async(tdev).result()
+        t_one = time.time() - t0
+        dt = (t_many - t_one) / (QUEUE - 1)
+        best = dt if best is None else min(best, dt)
+    return n / best, best, c
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -27,66 +59,43 @@ def main():
 
     n = int(os.environ.get("BENCH_N", 1 << 28))        # 256 MiB
     m = int(os.environ.get("BENCH_M", 8))
+    m_fp = int(os.environ.get("BENCH_M_FP", 32))
     p = int(os.environ.get("BENCH_P", 10_000))
     reps = int(os.environ.get("BENCH_REPS", 5))
 
     ab = Alphabet.dna()
-    log(f"bench: n={n} ({n/2**20:.0f} MiB) m={m} p={p} devices={jax.devices()}")
+    log(f"bench: n={n} ({n/2**20:.0f} MiB) m={m}/{m_fp} p={p} "
+        f"devices={jax.devices()}")
     text = datagen.generate_text(n, ab, seed=7)
-    pats = datagen.generate_patterns(text, p, m, ab, frac_present=0.5, seed=8)
-
-    # correctness gate on a 4 MiB prefix vs host ground truth
-    nn = 1 << 22
-    truth = datagen.count_matches(text[:nn], pats)
-
-    eng = make_fast(pats)
     tdev = jax.device_put(jnp.asarray(text))
+    nn = 1 << 22                      # correctness-gate prefix (4 MiB)
 
-    got = eng.count(tdev[:nn])
-    if got != truth:
-        log(f"CORRECTNESS FAILURE: {got} != {truth}")
-        print(json.dumps({"metric": "ac_scan_throughput", "value": 0.0,
-                          "unit": "bytes/s", "vs_baseline": 0.0}))
-        return
+    results = {}
+    for tier, mm in (("exact", m), ("fp", m_fp)):
+        pats = datagen.generate_patterns(text, p, mm, ab, frac_present=0.5,
+                                         seed=8 if mm == m else 8 + mm)
+        truth = datagen.count_matches(text[:nn], pats)
+        eng = make_fast(pats)
+        got = eng.count(tdev[:nn])
+        if got != truth:
+            log(f"CORRECTNESS FAILURE m={mm}: {got} != {truth}")
+            results[tier] = (0.0, 0.0, 0)
+            continue
+        eng.count_async(tdev).result()             # warm/compile full shape
+        rate, dt, c = steady_rate(eng, tdev, n, reps)
+        log(f"m={mm} ({tier}): count={c} per-scan={dt*1e3:.1f}ms "
+            f"rate={rate/1e9:.2f} GB/s")
+        results[tier] = (rate, dt, c)
 
-    # Steady-state throughput: queue `reps` scans and fetch one result.
-    # A per-scan host sync would measure host<->device round-trip latency
-    # (~30ms over a tunnel) instead of device throughput; production
-    # pipelines stream scans back-to-back, which is what this measures.
-    # per-scan = (time of (1 dispatch + k scans + 1 fetch)
-    #             - time of (1 dispatch + 1 scan + 1 fetch)) / (k - 1).
-    if eng.ft.exact:
-        from tpu_smatcher.ops import pallas_filter as pf
-        scan = lambda: pf.exact_count_pallas(tdev, eng.ft.bitmaps[0], m=m,
-                                             sigma=pats.sigma, n=n)
-        c = int(scan())                  # warm
-        best = None
-        for _ in range(reps):
-            t0 = time.time()
-            rs = [scan() for _ in range(9)]
-            c = int(rs[-1])
-            t_many = time.time() - t0
-            t0 = time.time()
-            c = int(scan())
-            t_one = time.time() - t0
-            dt = (t_many - t_one) / 8
-            best = dt if best is None else min(best, dt)
-        dt = best
-    else:                                # fingerprint tier: sync per scan
-        c = eng.count(tdev)
-        times = []
-        for _ in range(reps):
-            t0 = time.time()
-            c = eng.count(tdev)
-            times.append(time.time() - t0)
-        dt = min(times)
-    rate = n / dt
-    log(f"count={c} per-scan={dt*1e3:.1f}ms rate={rate/1e9:.2f} GB/s")
+    rate = results["exact"][0]
+    fp_rate = results["fp"][0]
     print(json.dumps({
         "metric": "ac_scan_throughput",
         "value": round(rate, 1),
         "unit": "bytes/s",
         "vs_baseline": round(rate / 2e9, 3),
+        "fp_m32_value": round(fp_rate, 1),
+        "fp_m32_vs_baseline": round(fp_rate / 2e9, 3),
     }))
 
 

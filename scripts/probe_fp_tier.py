@@ -48,18 +48,18 @@ def main():
         print(f"  count={c} sync-included: {dt*1e3:.1f} ms = "
               f"{n/dt/1e9:.2f} GB/s", flush=True)
 
-        # (b) pipelined core (count+overflow on device), queue 9 fetch once
-        core = jax.jit(eng.core)
-        co = np.asarray(jnp.stack(core(tdev)))   # warm/compile
-        print(f"  core count={co[0]} overflow={co[1]}", flush=True)
+        # (b) pipelined count_async (optimistic half-cap device pass),
+        # queue 9 fetch once
+        cc = eng.count_async(tdev).result()      # warm/compile
+        print(f"  async count={cc}", flush=True)
         best = None
         for _ in range(3):
             t0 = time.time()
-            rs = [core(tdev) for _ in range(9)]
-            cc = int(rs[-1][0])
+            fs = [eng.count_async(tdev) for _ in range(9)]
+            cc = fs[-1].result()
             t_many = time.time() - t0
             t0 = time.time()
-            cc = int(core(tdev)[0])
+            cc = eng.count_async(tdev).result()
             t_one = time.time() - t0
             d = (t_many - t_one) / 8
             best = d if best is None else min(best, d)

@@ -82,19 +82,23 @@ def test_fast_distributed_core():
     assert dc.count(text) == expected
 
 
-def test_stage_bits_density_bounded():
-    """p just above a power of two must not saturate the stage bitmaps
-    (regression: pow2ceil(2p) alone gave ~40% fill at p=2048 and the
-    10-stage filter could not meet the candidate budget on large texts)."""
+def test_stage_budget_reachable():
+    """Enough derived stages are built that filtering always reaches the
+    candidate budget, even on the largest supported scan (the stage count
+    is chosen by a cost model, so per-stage fill may exceed the old 0.30
+    bound — what must hold is that the stage PRODUCT gets there)."""
     import numpy as np
     from tpu_smatcher.ops.fast import build_fast, stages_for, DEFAULT_CAP
     rng = np.random.default_rng(5)
-    pats = rng.integers(0, 20, (2048, 16)).astype(np.uint8)
-    ft = build_fast(pats, 20)
-    assert ft.density <= 0.30
-    # all-stage filtering reaches the budget even for a 1 GiB corpus
-    k = stages_for(ft, 1 << 30, DEFAULT_CAP)
-    assert (1 << 30) * ft.density ** k <= DEFAULT_CAP / 4
+    for p in (100, 2048, 10_000):
+        pats = rng.integers(0, 20, (p, 16)).astype(np.uint8)
+        ft = build_fast(pats, 20)
+        assert 0 < ft.density < 0.9
+        # all-stage filtering reaches the budget even for a 1 GiB corpus
+        k = stages_for(ft, 1 << 30, DEFAULT_CAP)
+        assert (1 << 30) * ft.density ** k <= DEFAULT_CAP / 4
+        # the per-row occupancy criterion holds too
+        assert ft.density ** k <= 1 / 256
 
 
 def test_count_file_streaming(tmp_path):

@@ -1,0 +1,45 @@
+"""m > 129 on the Pallas fast path (multi-view overlapped rows + part-wise
+MXU weights).  The reference kernels take any m (cuda/cuda_wm.cu:67-70);
+round 1 fell back to the XLA path past m=129 — now the fast path covers
+m <= 513 and longer patterns still fall back transparently."""
+
+import numpy as np
+import pytest
+
+from tpu_smatcher.core.alphabet import Alphabet
+from tpu_smatcher.core import datagen
+from tpu_smatcher.engines import make_engine, make_fast
+
+
+@pytest.mark.parametrize("m", [150, 512])
+def test_long_pattern_fast_path_parity(m):
+    ab = Alphabet.of_size(20)
+    text = datagen.generate_text(30_000, ab, seed=11)
+    pats = datagen.generate_patterns(text, 20, m, ab, frac_present=0.5,
+                                     seed=m)
+    truth = datagen.count_matches(text, pats)
+    eng = make_fast(pats, backend="pallas", interpret=True)
+    assert eng.count(text) == truth
+    oracle = np.nonzero(np.asarray(datagen.match_starts(text, pats)))[0]
+    np.testing.assert_array_equal(eng.positions(text), oracle)
+
+
+def test_long_pattern_engine_fast_path():
+    ab = Alphabet.of_size(20)
+    text = datagen.generate_text(20_000, ab, seed=12)
+    pats = datagen.generate_patterns(text, 15, 200, ab, frac_present=0.5,
+                                     seed=13)
+    truth = datagen.count_matches(text, pats)
+    assert make_engine("wm", pats, interpret=True).count(text) == truth
+
+
+def test_beyond_max_falls_back():
+    from tpu_smatcher.ops.pallas_filter import max_fast_m
+    ab = Alphabet.of_size(20)
+    m = max_fast_m() + 7
+    text = datagen.generate_text(10_000, ab, seed=14)
+    pats = datagen.generate_patterns(text, 8, m, ab, frac_present=0.5,
+                                     seed=15)
+    truth = datagen.count_matches(text, pats)
+    eng = make_fast(pats, backend="pallas", interpret=True)
+    assert eng.count(text) == truth            # transparently XLA

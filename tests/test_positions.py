@@ -34,16 +34,40 @@ def test_positions_fp_tier(sigma, m):
     np.testing.assert_array_equal(got, _positions_oracle(text, pats))
 
 
-def test_positions_overflow_raises():
+def test_positions_unbounded_dense():
+    """Every window matches (all-zero text + all-zero pattern): positions
+    must stream ALL of them by splitting pieces past the device cap — the
+    reference corpora it mirrors (random2) carry millions of matches."""
     ab = Alphabet.dna()
-    # all-zero text + the all-zero pattern: every window matches
     text = np.zeros(8_192, np.uint8)
     pats_codes = np.zeros((1, 8), np.uint8)
     from tpu_smatcher.core.patterns import PatternSet
     pats = PatternSet(pats_codes, ab)
     eng = make_fast(pats, backend="pallas", interpret=True, cap=256)
-    with pytest.raises(OverflowError):
-        eng.positions(text)
+    got = eng.positions(text)
+    np.testing.assert_array_equal(got, np.arange(8_192 - 7, dtype=np.int64))
+
+
+@pytest.mark.parametrize("sigma,m", [(4, 8), (20, 32)])
+def test_positions_xla_backend(sigma, m):
+    """positions() works off-TPU on the portable XLA path (both tiers)."""
+    ab = Alphabet.of_size(sigma)
+    text = datagen.generate_text(60_000, ab, seed=36)
+    pats = datagen.generate_patterns(text, 50, m, ab, frac_present=0.6,
+                                     seed=37)
+    eng = make_fast(pats, backend="xla")
+    got = eng.positions(text)
+    np.testing.assert_array_equal(got, _positions_oracle(text, pats))
+
+
+def test_positions_xla_dense_chunked():
+    ab = Alphabet.of_size(2)
+    text = np.zeros(20_000, np.uint8)
+    from tpu_smatcher.core.patterns import PatternSet
+    pats = PatternSet(np.zeros((1, 12), np.uint8), ab)
+    eng = make_fast(pats, backend="xla", cap=512)
+    got = eng.positions(text, chunk=700)
+    np.testing.assert_array_equal(got, np.arange(20_000 - 11, dtype=np.int64))
 
 
 def test_positions_short_text():

@@ -41,6 +41,26 @@ BITMAP_BITS = 1 << 16
 #: fingerprint multipliers per stage (odd => invertible mod 2^16)
 FP_MULTS = (0x9E37, 0x6A09, 0xB2D1, 0x85EB, 0xC2B3,
             0x2545, 0x9B61, 0x6C89, 0x5BD1, 0xA511)
+#: per-stage derivation constants: stage s tests key_s = (fp0 + C_s*fp1 +
+#: D_s*fp2) mod stage_bits (Kirsch-Mitzenmacher double/triple hashing).
+#: Only THREE base fingerprints are ever computed — the same fp0/fp1/fp2
+#: the verification buckets already need — so adding a stage costs only a
+#: few ALU ops + its bank gathers, not another fingerprint pass.  Triple
+#: (not double) derivation keeps the full-collision probability at
+#: stage_bits^-3: with two bases, fp0/fp1 colliding mod stage_bits makes a
+#: window pass EVERY stage, and at p=10k that alone would eat the candidate
+#: budget.  Odd constants avoid mod-2^k degeneracies.
+STAGE_CD = ((0, 0), (1, 0),
+            (0x2FE9, 0x33C9), (0xA909, 0xBA4D), (0xF4D9, 0xE2A9),
+            (0x073F, 0x26A7), (0xA38D, 0x1817), (0xA017, 0xBB4B),
+            (0x63D9, 0x9A23), (0x0C7B, 0x234D), (0xB145, 0xF907),
+            (0xB2B9, 0x6B23), (0x41C9, 0xDB41), (0xB39F, 0xFB23),
+            (0x891D, 0x7965), (0xA797, 0x8E7D), (0xA5D5, 0x0F9F),
+            (0xD951, 0xC47B), (0x3F3B, 0xA4E3), (0x934B, 0x6D3D),
+            (0xBACD, 0x1523), (0x09E9, 0x7D65), (0x3AC3, 0x0C85),
+            (0xDB3D, 0xE503), (0x3941, 0x29FD), (0x45AD, 0x89F3),
+            (0x6E65, 0x071F), (0xDDEB, 0x9D6B), (0xE22B, 0x9FFB),
+            (0xA845, 0x325F), (0xCA45, 0x1C1B), (0x4219, 0xB033))
 DEFAULT_TILE = 1 << 24
 DEFAULT_CAP = 1 << 16
 
@@ -76,8 +96,10 @@ class FastTables:
     m: int
     sigma: int
     n_stages: int           # default stage count for fixed-tile (XLA) scans
-    bitmaps: tuple          # len(FP_MULTS) device arrays (B, 128) int32,
-                            # B*4096 = stage_bits (cost: one gather per bank)
+    bitmaps: tuple          # derived-stage bitmaps (B, 128) int32, B*4096 =
+                            # stage_bits; stage s holds keys fp0 + C_s*fp1 +
+                            # D_s*fp2 mod stage_bits (STAGE_CD); enough
+                            # stages for n = 2^31 are built at construction
     # verification tables (None when exact):
     bucket_ids: object      # (2^(16+eb) * L,) int32 device, -1 padded
     lmax: int
@@ -118,31 +140,50 @@ def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None)
     patterns = np.unique(patterns, axis=0)
     p, m = patterns.shape
 
-    # All filter stages are built; scans pick how many to apply.  Stage
-    # bitmaps are sized to the pattern count: cost is one gather per
-    # 4096-bit bank, and with MXU-computed keys the per-stage key cost is
-    # small, so fewer banks at higher per-stage FPR + more stages minimizes
-    # total gathers (k(B)*(key_cost + B*gather_cost)).  Start at pow2ceil(2p)
-    # and grow until the measured fill is <= 0.30 — at pow2ceil(2p) alone,
-    # p just above a power of two fills ~40% and even all len(FP_MULTS)
-    # stages cannot meet the candidate budget on large texts.
-    fps = [_fp_keys_np(patterns, FP_MULTS[s]) for s in range(len(FP_MULTS))]
-    stage_bits = int(min(BITMAP_BITS, max(4096, 1 << (2 * max(p, 1) - 1).bit_length())))
-    while True:
+    # All filter stages are DERIVED from the three base fingerprints via
+    # STAGE_CD (key_s = fp0 + C_s*fp1 + D_s*fp2 mod stage_bits), so a stage
+    # costs a few ALU ops plus one gather per 4096-bit bank; scans pick how
+    # many stages to apply (stages_for).  stage_bits minimizes measured
+    # filter cost per bit of filtering: per-stage cost ~ C_ALU + B*C_GATHER
+    # (bank-gather units, measured on v5e: ALU overhead ~0.3 of a bank
+    # gather), information = -log2(fill).  At p=10k this picks 16384 bits
+    # (B=4, fill 0.46, 13 stages) over the old 32768x8-stage layout — same
+    # filtering, ~20% fewer gathers and 5 fewer MXU fingerprint passes.
+    fps = [_fp_keys_np(patterns, FP_MULTS[s]) for s in range(3)]
+    C_ALU, C_GATHER = 0.3, 1.0
+    stage_bits, density, best_cost = 0, 1.0, None
+    for sb in (4096, 8192, 16384, 32768, 65536):
+        bm0 = pack_bitmap(fps[0] & (sb - 1), sb)
+        d = float(np.count_nonzero(np.unpackbits(bm0.view(np.uint8)))) / sb
+        if d >= 0.98:
+            continue
+        cost = (C_ALU + (sb // 4096) * C_GATHER) / -math.log2(d)
+        if best_cost is None or cost < best_cost:
+            stage_bits, density, best_cost = sb, d, cost
+    if stage_bits == 0:                 # p ~ 65536 patterns: take the widest
+        stage_bits = BITMAP_BITS
         bm0 = pack_bitmap(fps[0] & (stage_bits - 1), stage_bits)
-        density = float(np.count_nonzero(np.unpackbits(bm0.view(np.uint8)))) / stage_bits
-        if density <= 0.30 or stage_bits >= BITMAP_BITS:
-            break
-        stage_bits <<= 1
-    bitmaps = [jnp.asarray(pack_bitmap(k & (stage_bits - 1), stage_bits))
-               for k in fps]
+        density = float(np.count_nonzero(
+            np.unpackbits(bm0.view(np.uint8)))) / stage_bits
+
+    # build enough stages for the worst supported scan (n = 2^31 starts,
+    # candidate budget DEFAULT_CAP/4); stages_for picks the prefix to apply
+    need = math.log(max(DEFAULT_CAP / 4 / (1 << 31), 1e-12)) / math.log(density) \
+        if 0 < density < 1 else 1
+    k_build = int(min(len(STAGE_CD), max(3, math.ceil(need) + 1)))
+    smask = stage_bits - 1
+    bitmaps = []
+    for s in range(k_build):
+        C, D = STAGE_CD[s]
+        key = (fps[0] + C * fps[1] + D * fps[2]) & smask
+        bitmaps.append(jnp.asarray(pack_bitmap(key, stage_bits)))
 
     if n_stages is None:
         k = 1
-        while density ** k * DEFAULT_TILE > DEFAULT_CAP / 4 and k < len(FP_MULTS):
+        while density ** k * DEFAULT_TILE > DEFAULT_CAP / 4 and k < k_build:
             k += 1
         n_stages = k
-    n_stages = min(n_stages, len(FP_MULTS))
+    n_stages = min(n_stages, k_build)
 
     # verification buckets keyed by fp0 plus eb low bits of fp1, sized so
     # buckets outnumber patterns ~8x (keeps lmax, and so verify gathers, low)
@@ -229,16 +270,18 @@ def fast_count_core(text: jnp.ndarray, ft: FastTables, *, tile: int = DEFAULT_TI
                     overflow)
 
         smask = ft.stage_bits - 1
+        n_st = ft.n_stages
         fp0 = _fp_keys(chunk, tile, m, FP_MULTS[0])
-        fp1 = None
+        fp1 = (_fp_keys(chunk, tile, m, FP_MULTS[1])
+               if n_st > 1 or ft.eb else None)
+        fp2 = _fp_keys(chunk, tile, m, FP_MULTS[2]) if n_st > 2 else None
         cand = bitmap_test(ft.bitmaps[0], fp0 & smask) == 1
-        for s in range(1, ft.n_stages):
-            fps = _fp_keys(chunk, tile, m, FP_MULTS[s])
-            if s == 1:
-                fp1 = fps
-            cand &= bitmap_test(ft.bitmaps[s], fps & smask) == 1
-        if ft.eb and fp1 is None:
-            fp1 = _fp_keys(chunk, tile, m, FP_MULTS[1])
+        for s in range(1, n_st):
+            C, D = STAGE_CD[s]
+            key = fp0 + C * fp1
+            if D:
+                key = key + D * fp2
+            cand &= bitmap_test(ft.bitmaps[s], key & smask) == 1
         cand &= valid
         n_cand = jnp.sum(cand, dtype=jnp.int32)
         idxs = nonzero_scatter(cand, cap, tile + m - 1)
@@ -408,27 +451,33 @@ def _verify_matched(text_words, idxs, bucket_ids, packed, bucket_fp2, *, m,
         if nb < 4:
             v = v & ((1 << (8 * nb)) - 1)
         vals.append(v)
-    # bucket-key fingerprints recomputed from the combined words — no gathers
-    fp0 = jnp.zeros((cap,), jnp.int32)
-    fp1 = jnp.zeros((cap,), jnp.int32)
-    fp2 = jnp.zeros((cap,), jnp.int32)
-    rp0 = rp1 = rp2 = 1
-    for i in range(m):
-        c = (vals[i // 4] >> (8 * (i % 4))) & 0xFF
-        fp0 = fp0 + c * rp0
-        rp0 = (rp0 * FP_MULTS[0]) & 0xFFFF
-        if eb:
-            fp1 = fp1 + c * rp1
-            rp1 = (rp1 * FP_MULTS[1]) & 0xFFFF
-        if slot_ok:
-            fp2 = fp2 + c * rp2
-            rp2 = (rp2 * FP_MULTS[2]) & 0xFFFF
-    key = fp0 & 0xFFFF
+    # bucket-key fingerprints recomputed from the combined words — no
+    # gathers.  Vectorized over the m window bytes (an unrolled per-byte
+    # loop is fine at m=32 but blows up compilation at m=512): each word is
+    # expanded to its 4 bytes via broadcast, then fp = sum(byte * mult^i)
+    # with int32 wraparound (exact mod-2^16 after masking).
+    vals2d = jnp.stack(vals, axis=1)                       # (cap, W)
+    shifts = jnp.tile(jnp.array([0, 8, 16, 24], jnp.int32), words)[:m]
+    bytes2d = (jnp.repeat(vals2d, 4, axis=1)[:, :m]
+               >> shifts[None, :]) & 0xFF                  # (cap, m)
+
+    def fpvec(mult):
+        rp = np.ones((m,), np.int64)
+        for i in range(1, m):
+            rp[i] = (rp[i - 1] * mult) & 0xFFFF
+        rpj = jnp.asarray(rp.astype(np.int32))
+        return jnp.sum(bytes2d * rpj[None, :], axis=1, dtype=jnp.int32)
+
+    key = fpvec(FP_MULTS[0]) & 0xFFFF
     if eb:
-        key = key | ((fp1 & ((1 << eb) - 1)) << 16)
+        key = key | ((fpvec(FP_MULTS[1]) & ((1 << eb) - 1)) << 16)
+
+    def full_eq(pid_c):
+        rows = packed[pid_c, :]                            # (cap, W) gather
+        return jnp.all(rows == vals2d, axis=1)
 
     if slot_ok:
-        fp2 = fp2 & 0xFFFF
+        fp2 = fpvec(FP_MULTS[2]) & 0xFFFF
         slot = jnp.zeros((cap,), jnp.int32)
         found = jnp.zeros((cap,), bool)
         for l in range(lmax):
@@ -437,22 +486,60 @@ def _verify_matched(text_words, idxs, bucket_ids, packed, bucket_fp2, *, m,
             found |= hit
         pid = bucket_ids[key * lmax + slot]
         ok = live & found & (pid >= 0)
-        pid_c = jnp.maximum(pid, 0)
-        eq = jnp.ones((cap,), bool)
-        for w in range(words):
-            eq &= packed[pid_c, w] == vals[w]
-        return ok & eq
+        return ok & full_eq(jnp.maximum(pid, 0))
 
     matched = jnp.zeros((cap,), bool)
     for l in range(lmax):
         pid = bucket_ids[key * lmax + l]
         ok = live & (pid >= 0) & ~matched
-        pid_c = jnp.maximum(pid, 0)
-        eq = jnp.ones((cap,), bool)
-        for w in range(words):
-            eq &= packed[pid_c, w] == vals[w]
-        matched |= ok & eq
+        matched |= ok & full_eq(jnp.maximum(pid, 0))
     return matched
+
+
+@functools.partial(jax.jit, static_argnames=("m", "sigma", "exact", "cap",
+                                             "n_stages", "words", "lmax",
+                                             "eb", "slot_ok", "stage_bits"))
+def _positions_piece_xla(piece, bitmaps, bucket_ids, packed, bucket_fp2, *,
+                         m, sigma, exact, cap, n_stages, words, lmax, eb,
+                         slot_ok, stage_bits):
+    """Portable (no-Pallas) per-piece positions: (idxs (cap,) int32 with -1
+    padding, overflow).  All window starts of `piece` are owned
+    (n_starts = len - m + 1); the caller offsets by the piece base."""
+    n = piece.shape[0]
+    n_starts = n - m + 1
+    if exact:
+        keys = _wid_keys(piece, n_starts, m, sigma)
+        cand = bitmap_test(bitmaps[0], keys) == 1
+    else:
+        smask = stage_bits - 1
+        fp0 = _fp_keys(piece, n_starts, m, FP_MULTS[0])
+        fp1 = (_fp_keys(piece, n_starts, m, FP_MULTS[1])
+               if n_stages > 1 or eb else None)
+        fp2 = (_fp_keys(piece, n_starts, m, FP_MULTS[2])
+               if n_stages > 2 else None)
+        cand = bitmap_test(bitmaps[0], fp0 & smask) == 1
+        for s in range(1, n_stages):
+            C, D = STAGE_CD[s]
+            key = fp0 + C * fp1
+            if D:
+                key = key + D * fp2
+            cand &= bitmap_test(bitmaps[s], key & smask) == 1
+    n_cand = jnp.sum(cand, dtype=jnp.int32)
+    idxs = nonzero_scatter(cand, cap, n_starts)
+    live = idxs < n_starts
+    idxs = jnp.where(live, idxs, -1)
+    if not exact:
+        # little-endian word view of the piece, built with a plain reshape
+        # (fine on CPU, where the xla backend runs)
+        nw = words_len(n, words)
+        t = jnp.zeros((nw * 4,), jnp.uint8).at[:n].set(piece)
+        t4 = t.astype(jnp.int32).reshape(nw, 4)
+        tw = t4[:, 0] | (t4[:, 1] << 8) | (t4[:, 2] << 16) | (t4[:, 3] << 24)
+        matched = _verify_matched(tw, idxs, bucket_ids, packed, bucket_fp2,
+                                  m=m, words=words, lmax=lmax, eb=eb,
+                                  n_starts=n_starts, slot_ok=slot_ok)
+        idxs = jnp.where(matched, idxs, -1)
+    return idxs, jnp.int32(n_cand > cap)
 
 
 class ScanFuture:
@@ -541,6 +628,15 @@ class FastScanner:
         return int(c), bool(o)
 
     def count(self, text) -> int:
+        from tpu_smatcher.ops.pallas_filter import max_fast_m
+        if self.backend == "pallas" and self.m <= max_fast_m():
+            # one dispatch + one host fetch (the optimistic half-cap device
+            # pass); overflow falls back to the full retry ladder
+            return self.count_async(text).result()
+        return self._count_retry(text)
+
+    def _count_retry(self, text) -> int:
+        """The synchronous path: full retry ladder, raises on true overflow."""
         c, o = self.count_with_overflow(text)
         if o:
             raise OverflowError(
@@ -550,7 +646,12 @@ class FastScanner:
 
     def _device_count(self, text):
         """Traceable (count, overflow) over the whole text — the device-only
-        scan behind count_async (single compact pass, no host round trips)."""
+        scan behind count_async (single compact pass, no host round trips).
+
+        Uses the OPTIMISTIC half cap (compact+verify cost scales with the
+        static cap; stages are sized so expected candidates <= cap/4, so
+        the half-cap pass succeeds with 2x margin) — on the rare overflow
+        the future's retry runs the full synchronous ladder."""
         n = text.shape[0]
         ft = self.ft
         if self.backend != "pallas":
@@ -563,11 +664,12 @@ class FastScanner:
                                           sigma=ft.sigma, n=n,
                                           interpret=self.interpret),
                     jnp.int32(0))
+        cap = self.cap // 2 if self.cap >= 8192 else self.cap
         k = stages_for(ft, n, self.cap)
         mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
                                        n_stages=k, interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=min(self.caprows, self.cap),
-                               cap=self.cap, row_slots=self.row_slots)
+        idxs, o = compact_mask(mask2d, caprows=min(self.caprows, cap),
+                               cap=cap, row_slots=self.row_slots)
         tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
                                   interpret=self.interpret)
         c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
@@ -593,7 +695,8 @@ class FastScanner:
             else:
                 self._jdevice = self._jit      # tiled XLA path
         c, o = self._jdevice(text)
-        return ScanFuture(c, o, retry=functools.partial(self.count, text))
+        return ScanFuture(c, o, retry=functools.partial(self._count_retry,
+                                                        text))
 
     def scan_many(self, texts) -> list[int]:
         """Counts for a batch of texts, pipelined: all scans are dispatched
@@ -631,47 +734,117 @@ class FastScanner:
             total += f.result()
         return total
 
-    def positions(self, text) -> np.ndarray:
-        """Sorted start positions of all matching windows.
-
-        The reference computes positions internally but only counts them
-        (SURVEY.md: the column loops in cuda_*/search_*); here they are a
-        first-class output.  Bounded by cap= (raises OverflowError beyond).
-        """
-        from tpu_smatcher.ops import pallas_filter as pf
-        text = jnp.asarray(text, jnp.uint8)
-        n = int(text.shape[0])
+    def _positions_piece(self, piece):
+        """Traceable (idxs (cap,) int32 with -1 padding, overflow) for ALL
+        matching window starts of `piece` (every start is owned)."""
         ft = self.ft
-        if n < ft.m:
-            return np.empty((0,), np.int64)
-        if self.backend != "pallas":
-            raise NotImplementedError("positions() requires the pallas backend")
+        from tpu_smatcher.ops.pallas_filter import max_fast_m
+        if self.backend != "pallas" or ft.m > max_fast_m():
+            return _positions_piece_xla(
+                piece, ft.bitmaps, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                m=ft.m, sigma=ft.sigma, exact=ft.exact, cap=self.cap,
+                n_stages=stages_for(ft, piece.shape[0], self.cap),
+                words=ft.words, lmax=ft.lmax, eb=ft.eb, slot_ok=ft.slot_ok,
+                stage_bits=ft.stage_bits)
+        from tpu_smatcher.ops import pallas_filter as pf
+        n = piece.shape[0]
+        cap = self.cap
         if ft.exact:
-            mask2d = pf.exact_mask_pallas(text, ft.bitmaps[0], m=ft.m,
+            mask2d = pf.exact_mask_pallas(piece, ft.bitmaps[0], m=ft.m,
                                           sigma=ft.sigma, n=n,
                                           interpret=self.interpret)
-            idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap,
-                               row_slots=self.row_slots)
-            pos = np.asarray(idxs)
-            if bool(np.asarray(o)):
-                raise OverflowError(
-                    "match count exceeds limits; raise cap= / row_slots=")
-            return np.sort(pos[pos >= 0]).astype(np.int64)
-        k = stages_for(ft, n, self.cap)
-        mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
+            # matches (not candidates) can be row-dense: full row_slots;
+            # caprows bounded by the piece's real row count keeps the
+            # 128-slot compaction proportional to the piece, not the cap
+            idxs, o = compact_mask(mask2d, caprows=min(cap, mask2d.shape[0]),
+                                   cap=cap, row_slots=128)
+            return idxs, o
+        k = stages_for(ft, n, cap)
+        mask2d = pf.filter_mask_pallas(piece, ft.bitmaps[:k], m=ft.m, n=n,
                                        n_stages=k, interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap,
-                               row_slots=self.row_slots)
-        tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
+        idxs, o = compact_mask(mask2d, caprows=min(cap, mask2d.shape[0]),
+                               cap=cap, row_slots=128)
+        tw = pf.words_view_pallas(piece, nw=words_len(n, ft.words),
                                   interpret=self.interpret)
         matched = verify_matched_at(
             tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2, m=ft.m,
             words=ft.words, lmax=ft.lmax, eb=ft.eb, n_starts=n - ft.m + 1,
             slot_ok=ft.slot_ok)
-        if bool(np.asarray(o)):
-            raise OverflowError("candidate cap exceeded; raise cap=")
-        pos = np.asarray(idxs)[np.asarray(matched)]
-        return np.sort(pos[pos >= 0]).astype(np.int64)
+        return jnp.where(matched, idxs, -1), o
+
+    def positions(self, text, *, chunk: int | None = None,
+                  depth: int = 4) -> np.ndarray:
+        """Sorted start positions of ALL matching windows — unbounded.
+
+        The reference computes positions internally but only counts them
+        (SURVEY.md: the column loops in cuda_*/search_*); here they are a
+        first-class output.  The text is scanned in pieces with an (m-1)
+        overlap, up to `depth` pieces pipelined on-device; any piece whose
+        matches exceed the per-piece device cap is split and rescanned
+        (pieces of <= cap/2 starts cannot overflow, so enumeration always
+        terminates) — dense corpora with millions of matches stream to the
+        host with no global cap.  chunk= presizes the pieces (in window
+        starts) when the density is known; otherwise the first overflow
+        picks a chunk from the measured global match count."""
+        text = jnp.asarray(text, jnp.uint8)
+        n = int(text.shape[0])
+        ft = self.ft
+        m = ft.m
+        if n < m:
+            return np.empty((0,), np.int64)
+        total_starts = n - m + 1
+        min_chunk = max(self.cap // 2, 1)
+
+        def piece_of(start, owned):
+            return jax.lax.slice(text, (start,),
+                                 (min(start + owned + m - 1, n),))
+
+        work = []                        # (start, owned) pieces to scan
+        if chunk is None:
+            work.append((0, total_starts))
+        else:
+            chunk = max(int(chunk), min_chunk)
+            work.extend((s, min(chunk, total_starts - s))
+                        for s in range(0, total_starts, chunk))
+        work.reverse()                   # pop() scans in text order
+        inflight = []                    # (start, owned, idxs_dev, o_dev)
+        out = []
+        guess = None                     # density-derived chunk after 1st ovf
+
+        def drain_one():
+            nonlocal guess
+            start, owned, idxs_d, o_d = inflight.pop(0)
+            if bool(np.asarray(o_d)):
+                if owned <= min_chunk:
+                    raise AssertionError(
+                        "positions piece overflowed below the guaranteed "
+                        "size — this is a bug")
+                if guess is None and owned == total_starts:
+                    # size pieces from the global density (few shapes to
+                    # compile) instead of blind halving
+                    total = max(self.count(text), 1)
+                    guess = int(max(min_chunk,
+                                    min(owned // 2,
+                                        (self.cap // 2) * owned // total)))
+                split = max(min_chunk, min(guess or owned // 2, owned // 2))
+                for s in range(start, start + owned, split):
+                    work.append((s, min(split, start + owned - s)))
+                return
+            idxs = np.asarray(idxs_d)
+            idxs = idxs[idxs >= 0]
+            if idxs.size:
+                out.append(idxs.astype(np.int64) + start)
+
+        while work or inflight:
+            while work and len(inflight) < depth:
+                start, owned = work.pop()
+                idxs_d, o_d = self._positions_piece(piece_of(start, owned))
+                inflight.append((start, owned, idxs_d, o_d))
+            if inflight:
+                drain_one()
+        if not out:
+            return np.empty((0,), np.int64)
+        return np.sort(np.concatenate(out))
 
     def core(self, ext):
         """Traceable per-shard (count, overflow) for distribution: the

@@ -41,9 +41,9 @@ from tpu_smatcher.ops.fast import (
     compact_mask, compact_verify_retry, stages_for, verify_at, words_len)
 from tpu_smatcher.ops.lookup import pack_bitmap
 from tpu_smatcher.ops.pallas_filter import (
-    LANES, ROW_BYTES, FILTER_RB, _bitmap_lookup, _fp_keys_mxu,
-    _wid_keys_2d, _window_positions, fp_weights, overlap_rows,
-    words_view_pallas)
+    LANES, FILTER_RB, _bitmap_lookup, _fp_keys_mxu, _wid_keys_2d,
+    _window_positions, derived_keys, fp_weights, n_base_fps, overlap_rows,
+    row_bytes_for, words_view_pallas)
 
 
 def _value_lookup(table_ref, idx: jnp.ndarray, rb: int) -> jnp.ndarray:
@@ -75,11 +75,19 @@ def _stage_hit(kind, params, ref, t32, rb):
         off, d, bits = params
         keys = _wid_keys_2d(t32[:, off:off + LANES + d - 1], d, bits)
         return _bitmap_lookup(ref, keys, rb)
-    if kind == "fp":                       # polynomial fingerprint bitmap
-        bitmap_ref, w_ref, t_bf = ref      # keys on the MXU (pallas_filter);
-        sbits = bitmap_ref.shape[0] * 4096  # mult/m live in the weights table
-        keys = _fp_keys_mxu(t_bf, w_ref, sbits - 1)
-        return _bitmap_lookup(bitmap_ref, keys, rb)
+    if kind == "fpset":                    # k derived fingerprint stages
+        (k,) = params                      # (pallas_filter._filter_kernel)
+        bitmap_refs, w_refs, t_bf = ref
+        parts = len(w_refs) // n_base_fps(k)
+        bases = [_fp_keys_mxu(t_bf, w_refs[i * parts:(i + 1) * parts],
+                              0xFFFF) for i in range(n_base_fps(k))]
+        smask = bitmap_refs[0].shape[0] * 4096 - 1
+        acc = None
+        for s in range(k):
+            h = _bitmap_lookup(bitmap_refs[s],
+                               derived_keys(bases, s, smask), rb)
+            acc = h if acc is None else (acc & h)
+        return acc
     if kind == "wm":                       # SHIFT[hash(last 3 chars)] == 0
         (m,) = params
         # 2-bit block hash, multiply-add form (matches automata/wu.py and
@@ -106,13 +114,16 @@ def _stages_kernel(tile_ref, *refs, stages, m, sigma, n_starts, rb,
                    count_mode, guard):
     t32 = tile_ref[:].astype(jnp.int32)
     t_bf = (t32.astype(jnp.bfloat16)       # hoisted: shared by all fp stages
-            if any(k == "fp" for k, _ in stages) else None)
+            if any(k == "fpset" for k, _ in stages) else None)
     hit = None
     ri = 0
     for kind, params in stages:
-        if kind == "fp":                  # consumes (bitmap, mxu weights)
-            ref = (refs[ri], refs[ri + 1], t_bf)
-            ri += 2
+        if kind == "fpset":    # consumes k bitmaps + nw*parts weight parts
+            (k,) = params
+            from tpu_smatcher.ops.pallas_filter import PART_TERMS
+            nww = n_base_fps(k) * -(-m // PART_TERMS)
+            ref = (refs[ri:ri + k], refs[ri + k:ri + k + nww], t_bf)
+            ri += k + nww
         else:
             ref = refs[ri]
             ri += 1
@@ -156,7 +167,7 @@ def _run_stages(text, stages, tables, *, m, sigma, n, count_mode,
     out = pl.pallas_call(
         kern,
         grid=(R // rb,),
-        in_specs=[pl.BlockSpec((rb, ROW_BYTES), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((rb, row_bytes_for(m)), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] + table_specs,
         out_specs=out_spec,
         out_shape=out_shape,
@@ -233,11 +244,11 @@ class EngineFastPath:
             tables.append(ft.bitmaps[0])
             return stages, tables, True
         k = stages_for(ft, n, self.cap)
-        for s in range(k):
-            # the mult and m live entirely in the prebuilt weights table
-            stages.append(("fp", ()))
-            tables.append(ft.bitmaps[s])
-            tables.append(fp_weights(FP_MULTS[s], self.m))
+        stages.append(("fpset", (k,)))
+        tables.extend(ft.bitmaps[:k])
+        # base-fp mults and m live entirely in the prebuilt weights tables
+        tables.extend(part for i in range(n_base_fps(k))
+                      for part in fp_weights(FP_MULTS[i], self.m))
         return stages, tables, False
 
     def _count_impl(self, ext, guard=False):
@@ -314,7 +325,9 @@ class EngineFastPath:
         return [f.result() for f in [self.count_async(t) for t in texts]]
 
     def positions(self, text) -> np.ndarray:
-        """Sorted start positions of all matching windows (cap-bounded)."""
+        """Sorted start positions of all matching windows (cap-bounded; for
+        unbounded streaming enumeration use FastScanner.positions — the
+        match set is identical across engines)."""
         from tpu_smatcher.ops.fast import verify_matched_at
         text = jnp.asarray(text, jnp.uint8)
         n = int(text.shape[0])

@@ -33,37 +33,56 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_smatcher.ops.fast import FP_MULTS, _bits_per_char
+from tpu_smatcher.ops.fast import FP_MULTS, STAGE_CD, _bits_per_char
 from tpu_smatcher.ops import keys as keys_mod
 
 LANES = 128
-ROW_BYTES = 256          # per-row context: 128 positions + up to 128 tail bytes
+ROW_BYTES = 256          # default row context (m <= 129); see row_bytes_for
 DEFAULT_RB = 512         # rows per grid block: (512, 256) uint8 tile = 128 KiB
 FILTER_RB = 256          # filter kernel needs headroom for per-stage temps
+MAX_FAST_M = 513         # longest pattern on the Pallas fast path (4 halo
+                         # row-views; the reference kernels take any m —
+                         # cuda/cuda_wm.cu:67-70 — so long patterns must not
+                         # fall off a cliff)
 
 
 def max_fast_m() -> int:
     """Longest pattern the overlapped-row Pallas layout supports; callers
     (FastScanner, ops.common.active_fastpath) fall back to the jnp/XLA scan
     beyond this."""
-    return LANES + 1
+    return MAX_FAST_M
+
+
+def row_bytes_for(m: int) -> int:
+    """Per-row context bytes: 128 owned positions plus enough 128-byte halo
+    views that every m-window starting in the row lies inside it."""
+    return LANES * (1 + cdiv(max(m - 1, 1), LANES))
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 def overlap_rows(text: jnp.ndarray, n: int, m: int, rb: int = DEFAULT_RB) -> tuple[jnp.ndarray, int]:
-    """(R, 256) uint8 overlapped layout; R padded to a multiple of rb.
+    """(R, row_bytes_for(m)) uint8 overlapped layout; R padded to a multiple
+    of rb.
 
-    Row r covers positions [r*128, (r+1)*128); its 256 bytes give every
-    window (m <= 129) without crossing rows.  Returns (rows, n_starts)."""
-    if m > LANES + 1:
-        raise ValueError("overlap_rows supports m <= 129")
+    Row r covers positions [r*128, (r+1)*128); its row_bytes give every
+    window starting there without crossing rows — the halo is h = ceil(
+    (m-1)/128) extra 128-byte views, each a 128-shifted reshape of the same
+    text (the smem tile + (m-1) halo of cuda/cuda_wm.cu:93-130, at VMEM
+    scale).  Returns (rows, n_starts)."""
+    if m > MAX_FAST_M:
+        raise ValueError(f"overlap_rows supports m <= {MAX_FAST_M}")
+    h = cdiv(max(m - 1, 1), LANES)
     n_starts = max(0, n - m + 1)
     R = max(1, -(-n_starts // LANES))
     R = -(-R // rb) * rb
-    flat_len = R * LANES + LANES            # main + one extra row of halo
+    flat_len = R * LANES + h * LANES        # main + h halo row-views
     padded = jnp.zeros((flat_len,), jnp.uint8).at[:n].set(text[:n])
-    main = padded[: R * LANES].reshape(R, LANES)
-    ext = padded[LANES: R * LANES + LANES].reshape(R, LANES)
-    return jnp.concatenate([main, ext], axis=1), n_starts
+    views = [padded[j * LANES: R * LANES + j * LANES].reshape(R, LANES)
+             for j in range(1 + h)]
+    return jnp.concatenate(views, axis=1), n_starts
 
 
 def _window_positions(rb: int):
@@ -154,7 +173,8 @@ def exact_mask_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
         kern,
         grid=(R // rb,),
         in_specs=[
-            pl.BlockSpec((rb, ROW_BYTES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, row_bytes_for(m)), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(bitmap.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -163,44 +183,82 @@ def exact_mask_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
     )(tile, bitmap)
 
 
+#: max band terms per weight part: 256*255*255 < 2^24 keeps the bf16/f32
+#: MXU accumulation exact; longer patterns split into parts summed in int32
+PART_TERMS = 256
+
+
 @functools.lru_cache(maxsize=None)
 def fp_weights(mult: int, m: int):
-    """(512, 128) bf16 banded-matmul weights computing the stage fingerprint
-    on the MXU: rows [0,256) hold the low bytes of mult^(c-l) on the band
-    c-l in [0, m), rows [256,512) the high bytes.
+    """Banded-matmul weights computing the base fingerprint on the MXU, as
+    a tuple of ceil(m/256) parts of shape (2*row_bytes, 128) bf16: part p's
+    rows [0, S) hold the low bytes of mult^(c-l) on bands c-l in
+    [256p, min(m, 256(p+1))), rows [S, 2S) the high bytes.
 
-    fp[r,l] = sum_i t[r,l+i]*mult^i = (t @ Wlo) + 256*(t @ Whi) mod 2^16.
-    All weight/char values are integers <= 255 (exact in bf16) and the f32
-    accumulation stays below 2^24 (m <= 129), so the MXU result is EXACT —
-    measured 2.7x faster than the VPU segment-doubling tree
-    (scripts/probe_mxu_keys.py)."""
-    W = np.zeros((256, 128), np.int64)
-    for l in range(LANES):
-        for i in range(m):
-            W[l + i, l] = pow(mult, i, 1 << 16)
-    lo = (W & 0xFF).astype(np.float32)
-    hi = (W >> 8).astype(np.float32)
-    # numpy, not a device array: this is lru_cached and may first be called
-    # under a jit trace (a cached tracer would leak into later traces)
-    return np.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
+    fp[r,l] = sum_i t[r,l+i]*mult^i = sum_p (t @ Wlo_p) + 256*(t @ Whi_p)
+    mod 2^16.  All weight/char values are integers <= 255 (exact in bf16)
+    and each part's f32 accumulation stays below 2^24 (<= 256 terms), so
+    the MXU result is EXACT for any m — measured 2.7x faster than the VPU
+    segment-doubling tree (scripts/probe_mxu_keys.py)."""
+    S = row_bytes_for(m)
+    parts = []
+    for p0 in range(0, m, PART_TERMS):
+        W = np.zeros((S, 128), np.int64)
+        for l in range(LANES):
+            for i in range(p0, min(m, p0 + PART_TERMS)):
+                W[l + i, l] = pow(mult, i, 1 << 16)
+        lo = (W & 0xFF).astype(np.float32)
+        hi = (W >> 8).astype(np.float32)
+        # numpy, not a device array: this is lru_cached and may first be
+        # called under a jit trace (a cached tracer would leak)
+        parts.append(np.concatenate([lo, hi], axis=0).astype(jnp.bfloat16))
+    return tuple(parts)
 
 
-def _fp_keys_mxu(t_bf, w_ref, mask: int) -> jnp.ndarray:
-    lo = jnp.dot(t_bf, w_ref[:256], preferred_element_type=jnp.float32)
-    hi = jnp.dot(t_bf, w_ref[256:], preferred_element_type=jnp.float32)
-    return (lo.astype(jnp.int32) + (hi.astype(jnp.int32) << 8)) & mask
+def _fp_keys_mxu(t_bf, w_refs, mask: int) -> jnp.ndarray:
+    """Base fingerprint from its weight parts (w_refs: sequence of refs)."""
+    acc = None
+    for w in w_refs:
+        S = w.shape[0] // 2
+        lo = jnp.dot(t_bf, w[:S], preferred_element_type=jnp.float32)
+        hi = jnp.dot(t_bf, w[S:], preferred_element_type=jnp.float32)
+        v = lo.astype(jnp.int32) + (hi.astype(jnp.int32) << 8)
+        acc = v if acc is None else acc + v
+    return acc & mask
 
 
-def _filter_kernel(tile_ref, *refs, m, n_stages, n_starts, rb):
+def n_base_fps(n_stages: int) -> int:
+    """Base fingerprints the derived-stage filter needs (1..3): fp0 always,
+    fp1 for stage 1+, fp2 for the triple-hashed stages 2+ (STAGE_CD)."""
+    return 1 if n_stages <= 1 else (2 if n_stages == 2 else 3)
+
+
+def derived_keys(bases: list, s: int, smask: int):
+    """Stage-s filter key from the base fingerprints: fp0 + C_s*fp1 +
+    D_s*fp2 mod (smask+1).  int32 wraparound is exact mod-2^k arithmetic."""
+    C, D = STAGE_CD[s]
+    keys = bases[0]
+    if C:
+        keys = keys + C * bases[1]
+    if D:
+        keys = keys + D * bases[2]
+    return keys & smask
+
+
+def _filter_kernel(tile_ref, *refs, m, n_stages, n_starts, rb, parts):
+    """k derived stages from <= 3 MXU base fingerprints: adding a stage
+    costs ~3 ALU ops + its bank gathers, not another fingerprint pass."""
+    nw = n_base_fps(n_stages)
     bitmap_refs = refs[:n_stages]
-    w_refs = refs[n_stages:2 * n_stages]
-    mask_ref = refs[2 * n_stages]
+    w_refs = refs[n_stages:n_stages + nw * parts]
+    mask_ref = refs[n_stages + nw * parts]
     t_bf = tile_ref[:].astype(jnp.int32).astype(jnp.bfloat16)
+    bases = [_fp_keys_mxu(t_bf, w_refs[i * parts:(i + 1) * parts], 0xFFFF)
+             for i in range(nw)]
+    smask = bitmap_refs[0].shape[0] * 4096 - 1
     cand = None
     for s in range(n_stages):
-        sbits = bitmap_refs[s].shape[0] * 4096
-        keys = _fp_keys_mxu(t_bf, w_refs[s], sbits - 1)
-        hit = _bitmap_lookup(bitmap_refs[s], keys, rb)
+        hit = _bitmap_lookup(bitmap_refs[s], derived_keys(bases, s, smask), rb)
         cand = hit if cand is None else (cand & hit)
     cand = jnp.where(_window_positions(rb) < n_starts, cand, 0)
     mask_ref[:] = cand.astype(jnp.int8)
@@ -229,7 +287,8 @@ def exact_count_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
         kern,
         grid=(R // rb,),
         in_specs=[
-            pl.BlockSpec((rb, ROW_BYTES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, row_bytes_for(m)), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(bitmap.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -288,13 +347,16 @@ def filter_mask_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
     (keys on the MXU, bitmap membership on the VPU)."""
     tile, n_starts = overlap_rows(text, n, m, rb)
     R = tile.shape[0]
-    weights = tuple(fp_weights(FP_MULTS[s], m) for s in range(n_stages))
+    weights = tuple(part for i in range(n_base_fps(n_stages))
+                    for part in fp_weights(FP_MULTS[i], m))
+    parts = cdiv(m, PART_TERMS)
     kern = functools.partial(_filter_kernel, m=m, n_stages=n_stages,
-                             n_starts=n_starts, rb=rb)
+                             n_starts=n_starts, rb=rb, parts=parts)
     mask = pl.pallas_call(
         kern,
         grid=(R // rb,),
-        in_specs=[pl.BlockSpec((rb, ROW_BYTES), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        in_specs=[pl.BlockSpec((rb, row_bytes_for(m)), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
            for b in bitmaps]
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
