@@ -97,8 +97,12 @@ def main():
                         t0 = time.perf_counter()
                         eng.count_async(tdev).result()
                         t_one = time.perf_counter() - t0
-                        d = max((t_many - t_one) / (q - 1), 1e-9)
+                        d = (t_many - t_one) / (q - 1)
+                        if d <= 1e-5:      # subtraction noise: unmeasurable
+                            continue
                         best_dev = d if best_dev is None else min(best_dev, d)
+                    if best_dev is None:
+                        best_dev = best    # fall back to the sync rate
                     counts[eng_name] = int(c)
                     rec = {"corpus": name, "n": n, "sigma": sigma,
                            "m": args.m, "p_size": p_size, "engine": eng_name,

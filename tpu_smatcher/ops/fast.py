@@ -606,6 +606,29 @@ class FastScanner:
                                       sigma=ft.sigma, n=n, interpret=self.interpret)
             return int(c), False
         k = stages_for(ft, n, self.cap)
+        if n * ft.density ** k > self.cap / 4 and k >= len(ft.bitmaps):
+            # even all built stages cannot meet the candidate budget at this
+            # text length (very large pattern sets saturate the 16-bit
+            # fingerprint space, e.g. p=100k: the reference caps p at
+            # texture-memory scale, main.c:372-373) — scan in (m-1)-halo
+            # pieces sized to the budget, pipelined like count_file
+            piece = int(max((self.cap / 4) / max(ft.density ** k, 1e-12),
+                            self.cap // 2))
+            piece = min(piece, n)
+            futs = [self.count_async(
+                jax.lax.slice(text, (s,),
+                              (min(s + piece + ft.m - 1, n),)))
+                    for s in range(0, n - ft.m + 1, piece)]
+            total = 0
+            for f in futs:
+                total += f.result()       # per-piece overflow retries/raises
+            return total, False
+        return self._count_pallas_whole(text, k)
+
+    def _count_pallas_whole(self, text, k) -> tuple[int, bool]:
+        from tpu_smatcher.ops import pallas_filter as pf
+        n = int(text.shape[0])
+        ft = self.ft
         mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
                                        n_stages=k, interpret=self.interpret)
         tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
