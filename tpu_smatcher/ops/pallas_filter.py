@@ -39,7 +39,9 @@ from tpu_smatcher.ops import keys as keys_mod
 LANES = 128
 ROW_BYTES = 256          # default row context (m <= 129); see row_bytes_for
 DEFAULT_RB = 512         # rows per grid block: (512, 256) uint8 tile = 128 KiB
-FILTER_RB = 256          # filter kernel needs headroom for per-stage temps
+FILTER_RB = 128          # filter kernel: smaller blocks win (measured 61.6
+                         # vs 64.7 ms at rb=256, m=32 k=13 — per-stage temps
+                         # stay register/VMEM-resident)
 MAX_FAST_M = 513         # longest pattern on the Pallas fast path (4 halo
                          # row-views; the reference kernels take any m —
                          # cuda/cuda_wm.cu:67-70 — so long patterns must not
@@ -132,12 +134,31 @@ def _pad_guard_2d(t32: jnp.ndarray, m: int, sigma: int) -> jnp.ndarray:
     return (mx < sigma).astype(jnp.int32)
 
 
-def _exact_kernel(tile_ref, bitmap_ref, out_ref, *, m, bits, sigma,
+@functools.lru_cache(maxsize=None)
+def wid_weights(m: int, bits: int):
+    """Banded-matmul weights computing the PACKED WINDOW ID on the MXU:
+    wid[r,l] = sum_i t[r,l+i] << (bits*(m-1-i)) — a polynomial with
+    power-of-two coefficients, so the same lo/hi byte-split trick as
+    fp_weights applies (bits*m <= 16 on the exact tier keeps every value
+    exact in bf16/f32).  Measured: keys 2.3 -> ~1 ms per 256 MiB and the
+    VPU freed for the bank combine (probe_exact_opts.py: 10.7 -> 12.5 GB/s
+    with rb=1024)."""
+    W = np.zeros((256, 128), np.int64)
+    for l in range(LANES):
+        for i in range(m):
+            W[l + i, l] = 1 << (bits * (m - 1 - i))
+    lo = (W & 0xFF).astype(np.float32)
+    hi = (W >> 8).astype(np.float32)
+    return np.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
+
+
+def _exact_kernel(tile_ref, bitmap_ref, w_ref, out_ref, *, m, bits, sigma,
                   n_starts, rb, guard):
-    t32 = tile_ref[:, :LANES + m - 1].astype(jnp.int32)
-    keys = _wid_keys_2d(t32, m, bits)
+    keys = _fp_keys_mxu(tile_ref[:].astype(jnp.int32).astype(jnp.bfloat16),
+                        (w_ref,), 0xFFFF)
     hit = _bitmap_lookup(bitmap_ref, keys, rb)
     if guard:                       # shard/halo pad can alias real ids
+        t32 = tile_ref[:, :LANES + m - 1].astype(jnp.int32)
         hit = hit & _pad_guard_2d(t32, m, sigma)
     hit = jnp.where(_window_positions(rb) < n_starts, hit, 0)
     s = jnp.sum(hit, dtype=jnp.int32)
@@ -149,10 +170,11 @@ def _exact_kernel(tile_ref, bitmap_ref, out_ref, *, m, bits, sigma,
     out_ref[0, 0] += s
 
 
-def _exact_mask_kernel(tile_ref, bitmap_ref, mask_ref, *, m, bits, sigma,
-                       n_starts, rb):
+def _exact_mask_kernel(tile_ref, bitmap_ref, w_ref, mask_ref, *, m, bits,
+                       sigma, n_starts, rb):
     t32 = tile_ref[:, :LANES + m - 1].astype(jnp.int32)
-    keys = _wid_keys_2d(t32, m, bits)
+    keys = _fp_keys_mxu(tile_ref[:].astype(jnp.int32).astype(jnp.bfloat16),
+                        (w_ref,), 0xFFFF)
     hit = _bitmap_lookup(bitmap_ref, keys, rb) & _pad_guard_2d(t32, m, sigma)
     hit = jnp.where(_window_positions(rb) < n_starts, hit, 0)
     mask_ref[:] = hit.astype(jnp.int8)
@@ -166,9 +188,10 @@ def exact_mask_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
     variant of exact_count_pallas, used for position reporting."""
     tile, n_starts = overlap_rows(text, n, m, rb)
     R = tile.shape[0]
-    kern = functools.partial(_exact_mask_kernel, m=m,
-                             bits=_bits_per_char(sigma),
+    bits = _bits_per_char(sigma)
+    kern = functools.partial(_exact_mask_kernel, m=m, bits=bits,
                              sigma=sigma, n_starts=n_starts, rb=rb)
+    w = wid_weights(m, bits)
     return pl.pallas_call(
         kern,
         grid=(R // rb,),
@@ -176,11 +199,12 @@ def exact_mask_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
             pl.BlockSpec((rb, row_bytes_for(m)), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(bitmap.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, LANES), jnp.int8),
         interpret=interpret,
-    )(tile, bitmap)
+    )(tile, bitmap, w)
 
 
 #: max band terms per weight part: 256*255*255 < 2^24 keeps the bf16/f32
@@ -264,14 +288,22 @@ def _filter_kernel(tile_ref, *refs, m, n_stages, n_starts, rb, parts):
     mask_ref[:] = cand.astype(jnp.int8)
 
 
+#: rows per block for the exact COUNT kernel: larger blocks amortize the
+#: per-step overhead around the wid matmul (probe_exact_opts.py: 10.7 ->
+#: 12.5 GB/s going 512 -> 1024 with MXU keys; 256 KiB tile + 512 KiB bf16
+#: copy stay comfortably in VMEM)
+EXACT_RB = 1024
+
+
 @functools.partial(jax.jit, static_argnames=("m", "sigma", "n", "rb",
                                              "guard", "interpret"))
 def exact_count_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
-                       sigma: int, n: int, rb: int = DEFAULT_RB,
+                       sigma: int, n: int, rb: int = EXACT_RB,
                        guard: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
     """Exact window-id count (sigma^m <= 2^16). bitmap: (B, 128) int32
-    sized to the key space (B*4096 = max(4096, sigma^m) bits).
+    sized to the key space (B*4096 = max(4096, sigma^m) bits).  Window ids
+    are computed on the MXU (wid_weights).
 
     guard=True masks pad-contaminated windows (required when the text may
     contain the out-of-alphabet symbol sigma, i.e. distribution shards
@@ -280,9 +312,11 @@ def exact_count_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
         return jnp.int32(0)
     tile, n_starts = overlap_rows(text, n, m, rb)
     R = tile.shape[0]
-    kern = functools.partial(_exact_kernel, m=m, bits=_bits_per_char(sigma),
+    bits = _bits_per_char(sigma)
+    kern = functools.partial(_exact_kernel, m=m, bits=bits,
                              sigma=sigma, n_starts=n_starts, rb=rb,
                              guard=guard)
+    w = wid_weights(m, bits)
     out = pl.pallas_call(
         kern,
         grid=(R // rb,),
@@ -290,11 +324,12 @@ def exact_count_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
             pl.BlockSpec((rb, row_bytes_for(m)), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(bitmap.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
         interpret=interpret,
-    )(tile, bitmap)
+    )(tile, bitmap, w)
     return out[0, 0]
 
 
