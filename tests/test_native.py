@@ -128,3 +128,37 @@ def test_native_sbom_rejects_out_of_range_bytes():
     bad = np.array([[200, 1, 2, 3]], np.uint8)
     with pytest.raises(ValueError):
         nat.build_sbom_native(bad, 4)
+
+
+def test_native_wm_tables_match_python():
+    import numpy as np
+    import pytest
+    from tpu_smatcher import native as nat
+    from tpu_smatcher.automata.wu import build_wm
+    if nat.load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    for sigma, m, p in [(4, 8, 60), (20, 32, 45), (2, 5, 20), (128, 12, 30)]:
+        pats = rng.integers(0, sigma, (p, m)).astype(np.uint8)
+        py = build_wm(pats, sigma, native=False)
+        na = build_wm(pats, sigma, native=True)
+        np.testing.assert_array_equal(py.shift, na.shift)
+        np.testing.assert_array_equal(py.prefix_size, na.prefix_size)
+        np.testing.assert_array_equal(py.prefix_value, na.prefix_value)
+        np.testing.assert_array_equal(py.prefix_index, na.prefix_index)
+        assert py.lmax == na.lmax
+
+
+def test_native_sog_tables_match_python():
+    import numpy as np
+    import pytest
+    from tpu_smatcher import native as nat
+    from tpu_smatcher.automata.sog import build_sog
+    if nat.load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(18)
+    for sigma, width in [(4, 8), (20, 16), (8, 32)]:
+        pats = rng.integers(0, sigma, (40, width)).astype(np.uint8)
+        py = build_sog(pats, sigma, width, native=False)
+        na = build_sog(pats, sigma, width, native=True)
+        np.testing.assert_array_equal(py.T, na.T)

@@ -23,6 +23,7 @@ _tried = False
 
 _i8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 
 
 def _configure(lib):
@@ -37,6 +38,15 @@ def _configure(lib):
     lib.tpu_count_cpu.restype = ctypes.c_int64
     lib.tpu_count_cpu.argtypes = [_i8p, ctypes.c_int64, _i8p,
                                   ctypes.c_int64, ctypes.c_int64]
+    lib.tpu_build_wm_shift.restype = ctypes.c_int64
+    lib.tpu_build_wm_shift.argtypes = ([_i8p] + [ctypes.c_int64] * 4
+                                       + [_i32p, _i32p, _i32p])
+    lib.tpu_fill_wm_prefix.restype = ctypes.c_int64
+    lib.tpu_fill_wm_prefix.argtypes = ([_i8p] + [ctypes.c_int64] * 2
+                                       + [_i32p] + [ctypes.c_int64] * 2
+                                       + [_i32p, _i32p])
+    lib.tpu_build_sog.restype = ctypes.c_int64
+    lib.tpu_build_sog.argtypes = ([_i8p] + [ctypes.c_int64] * 4 + [_u32p])
     return lib
 
 
@@ -140,6 +150,44 @@ def count_cpu_native(text: np.ndarray, patterns: np.ndarray):
     patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
     p, m = patterns.shape
     return int(lib.tpu_count_cpu(text, text.size, patterns, p, m))
+
+
+def build_wm_native(patterns: np.ndarray, sigma: int, H: int):
+    """Wu-Manber tables: (shift, prefix_value, prefix_index, prefix_size,
+    lmax) in the reference's exact semantics, or None if unavailable.
+    H = wu_determine_shiftsize(sigma) (the python-side size table)."""
+    lib = load()
+    if lib is None:
+        return None
+    patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
+    p, m = patterns.shape
+    shift = np.empty(H, np.int32)
+    h_last = np.empty(max(p, 1), np.int32)
+    prefix_size = np.empty(H, np.int32)
+    if lib.tpu_build_wm_shift(patterns, p, m, sigma, H, shift, h_last,
+                              prefix_size) < 0:
+        raise ValueError("pattern byte out of range (or m < 3)")
+    lmax = max(1, int(prefix_size.max(initial=0)))
+    prefix_value = np.empty((H, lmax), np.int32)
+    prefix_index = np.empty((H, lmax), np.int32)
+    if lib.tpu_fill_wm_prefix(patterns, p, m, h_last, H, lmax,
+                              prefix_value, prefix_index) < 0:
+        raise RuntimeError("WM prefix fill overflow (inconsistent sizes)")
+    return shift, prefix_value, prefix_index, prefix_size, lmax
+
+
+def build_sog_native(patterns: np.ndarray, sigma: int, width: int):
+    """SOG T table ((sigma^3,) uint32) or None if unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
+    p, m = patterns.shape
+    T = np.empty(sigma ** 3, np.uint32)
+    if lib.tpu_build_sog(patterns, p, m, sigma, width, T) < 0:
+        raise ValueError("SOG requires m == width in {8,16,32} and in-range "
+                         "pattern bytes")
+    return T
 
 
 def build_sbom_native(patterns: np.ndarray, sigma: int):

@@ -290,4 +290,79 @@ int64_t tpu_encode_fasta(const uint8_t* in, int64_t n, const uint8_t* lut,
   return o;
 }
 
+// Wu-Manber SHIFT + last-gram hashes + PREFIX bucket sizes (pass 1).
+// H = wu_determine_shiftsize(sigma) (wu/wu.c:18-47), computed by the caller;
+// the hash is the reference's 2-bit block hash ((c0<<2)+c1<<2)+c2
+// (wu/wu.c:64-67).  shift (H,) initialized to m-B+1 then min-updated for
+// every pattern position q in [B, m] with m-q (wu/wu.c:221-233).
+int64_t tpu_build_wm_shift(const uint8_t *pats, int64_t p, int64_t m,
+                           int64_t sigma, int64_t H, int32_t *shift,
+                           int32_t *h_last, int32_t *prefix_size) {
+  constexpr int64_t B = 3;
+  if (m < B) return -1;
+  std::fill(shift, shift + H, (int32_t)(m - B + 1));
+  std::fill(prefix_size, prefix_size + H, 0);
+  for (int64_t j = 0; j < p; ++j) {
+    const uint8_t *pat = pats + j * m;
+    for (int64_t i = 0; i < m; ++i)
+      if (pat[i] >= sigma) return -1;
+    for (int64_t q = B; q <= m; ++q) {
+      const int32_t h = ((((int32_t)pat[q - 3] << 2) + pat[q - 2]) << 2)
+                        + pat[q - 1];
+      const int32_t len = (int32_t)(m - q);
+      if (len < shift[h]) shift[h] = len;
+      if (q == m) {
+        h_last[j] = h;
+        ++prefix_size[h];
+      }
+    }
+  }
+  return 0;
+}
+
+// Wu-Manber PREFIX lists (pass 2): value = 2-char prefix hash, index =
+// pattern id, in reference insertion order (wu/wu.c:236-246); (H, lmax)
+// padded with -1, lmax from pass 1's max bucket size.
+int64_t tpu_fill_wm_prefix(const uint8_t *pats, int64_t p, int64_t m,
+                           const int32_t *h_last, int64_t H, int64_t lmax,
+                           int32_t *prefix_value, int32_t *prefix_index) {
+  std::fill(prefix_value, prefix_value + H * lmax, -1);
+  std::fill(prefix_index, prefix_index + H * lmax, -1);
+  std::vector<int32_t> slot(H, 0);
+  for (int64_t j = 0; j < p; ++j) {
+    const uint8_t *pat = pats + j * m;
+    const int32_t h = h_last[j];
+    const int32_t s = slot[h]++;
+    if (s >= lmax) return -1;
+    prefix_value[(int64_t)h * lmax + s] =
+        ((int32_t)pat[0] << 2) + pat[1];
+    prefix_index[(int64_t)h * lmax + s] = (int32_t)j;
+  }
+  return 0;
+}
+
+// SOG T table over the base-sigma gram relabeling (sigma^3 entries; the
+// reference's 2^24-entry byte-packed T8, sog/sog8.c:140-147): bit i of
+// T[gram] cleared iff some pattern holds that 3-gram at offset i.
+int64_t tpu_build_sog(const uint8_t *pats, int64_t p, int64_t m,
+                      int64_t sigma, int64_t width, uint32_t *T) {
+  constexpr int64_t B = 3;
+  if (m != width || (width != 8 && width != 16 && width != 32)) return -1;
+  const uint32_t full = (width == 32) ? 0xFFFFFFFFu
+                                      : ((1u << width) - 1u);
+  const int64_t tsize = sigma * sigma * sigma;
+  std::fill(T, T + tsize, full);
+  for (int64_t j = 0; j < p; ++j) {
+    const uint8_t *pat = pats + j * m;
+    for (int64_t i = 0; i < m; ++i)
+      if (pat[i] >= sigma) return -1;
+    for (int64_t i = 0; i + B <= m; ++i) {
+      const int64_t g = (int64_t)pat[i] + (int64_t)pat[i + 1] * sigma
+                        + (int64_t)pat[i + 2] * sigma * sigma;
+      T[g] &= ~(1u << i);
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
