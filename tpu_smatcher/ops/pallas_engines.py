@@ -41,9 +41,9 @@ from tpu_smatcher.ops.fast import (
     compact_mask, compact_verify_retry, stages_for, verify_at, words_len)
 from tpu_smatcher.ops.lookup import pack_bitmap
 from tpu_smatcher.ops.pallas_filter import (
-    LANES, FILTER_RB, _bitmap_lookup, _fp_keys_mxu, _wid_keys_2d,
-    _window_positions, derived_keys, fp_weights, n_base_fps, overlap_rows,
-    row_bytes_for, words_view_pallas)
+    LANES, FILTER_RB, _bitmap_lookup, _fp_keys_mxu, _window_positions,
+    derived_keys, fp_weights, n_base_fps, overlap_rows, row_bytes_for,
+    wid_weights, words_view_pallas)
 
 
 def _value_lookup(table_ref, idx: jnp.ndarray, rb: int) -> jnp.ndarray:
@@ -71,10 +71,10 @@ def _value_lookup(table_ref, idx: jnp.ndarray, rb: int) -> jnp.ndarray:
 
 def _stage_hit(kind, params, ref, t32, rb):
     """One filter stage -> (rb, 128) int32 hits in {0, 1}."""
-    if kind == "wid":                      # window-id bitmap over d chars
-        off, d, bits = params
-        keys = _wid_keys_2d(t32[:, off:off + LANES + d - 1], d, bits)
-        return _bitmap_lookup(ref, keys, rb)
+    if kind == "wid":                      # window-id bitmap over d chars,
+        bitmap_ref, w_ref, t_bf = ref      # id computed on the MXU
+        keys = _fp_keys_mxu(t_bf, (w_ref,), 0xFFFF)
+        return _bitmap_lookup(bitmap_ref, keys, rb)
     if kind == "fpset":                    # k derived fingerprint stages
         (k,) = params                      # (pallas_filter._filter_kernel)
         bitmap_refs, w_refs, t_bf = ref
@@ -113,8 +113,8 @@ def _stage_hit(kind, params, ref, t32, rb):
 def _stages_kernel(tile_ref, *refs, stages, m, sigma, n_starts, rb,
                    count_mode, guard):
     t32 = tile_ref[:].astype(jnp.int32)
-    t_bf = (t32.astype(jnp.bfloat16)       # hoisted: shared by all fp stages
-            if any(k == "fpset" for k, _ in stages) else None)
+    t_bf = (t32.astype(jnp.bfloat16)   # hoisted: shared by all MXU stages
+            if any(k in ("fpset", "wid") for k, _ in stages) else None)
     hit = None
     ri = 0
     for kind, params in stages:
@@ -124,6 +124,9 @@ def _stages_kernel(tile_ref, *refs, stages, m, sigma, n_starts, rb,
             nww = n_base_fps(k) * -(-m // PART_TERMS)
             ref = (refs[ri:ri + k], refs[ri + k:ri + k + nww], t_bf)
             ri += k + nww
+        elif kind == "wid":    # consumes (bitmap, wid weights)
+            ref = (refs[ri], refs[ri + 1], t_bf)
+            ri += 2
         else:
             ref = refs[ri]
             ri += 1
@@ -213,21 +216,23 @@ class EngineFastPath:
 
         if kind == "wm" and len(np.asarray(shift_ext)) <= MAX_BANKS * LANES:
             self.stage0 = ("wm", (m,))
-            self.table0 = _to_banks(np.asarray(shift_ext))
+            self.tables0 = [_to_banks(np.asarray(shift_ext))]
         elif kind == "sog" and len(np.asarray(t_table)) <= MAX_BANKS * LANES:
             self.stage0 = ("sog", (m, sigma))
-            self.table0 = _to_banks(np.asarray(t_table))
+            self.tables0 = [_to_banks(np.asarray(t_table))]
         else:
             d = min(m, 16 // bits)
             off = 0 if kind == "ac" else m - d
             if self.ft.exact and d == m:
                 self.stage0 = None          # identical to the exact stage
-                self.table0 = None
+                self.tables0 = []
             else:
                 sub = patterns[:, off:off + d]
                 bm = pack_bitmap(_wid_keys_np(sub, sigma), 1 << 16)
                 self.stage0 = ("wid", (off, d, bits))
-                self.table0 = jnp.asarray(bm)
+                self.tables0 = [jnp.asarray(bm),
+                                wid_weights(d, bits, off,
+                                            row_bytes_for(m))]
 
         self._jcount = jax.jit(self._count_impl)
         self._jmask = jax.jit(self._mask_impl)
@@ -236,12 +241,14 @@ class EngineFastPath:
         stages, tables = [], []
         if self.stage0 is not None:
             stages.append(self.stage0)
-            tables.append(self.table0)
+            tables.extend(self.tables0)
         ft = self.ft
         bits = _bits_per_char(self.sigma)
         if ft.exact:
             stages.append(("wid", (0, self.m, bits)))
             tables.append(ft.bitmaps[0])
+            tables.append(wid_weights(self.m, bits, 0,
+                                      row_bytes_for(self.m)))
             return stages, tables, True
         k = stages_for(ft, n, self.cap)
         stages.append(("fpset", (k,)))

@@ -135,18 +135,18 @@ def _pad_guard_2d(t32: jnp.ndarray, m: int, sigma: int) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def wid_weights(m: int, bits: int):
-    """Banded-matmul weights computing the PACKED WINDOW ID on the MXU:
-    wid[r,l] = sum_i t[r,l+i] << (bits*(m-1-i)) — a polynomial with
-    power-of-two coefficients, so the same lo/hi byte-split trick as
-    fp_weights applies (bits*m <= 16 on the exact tier keeps every value
-    exact in bf16/f32).  Measured: keys 2.3 -> ~1 ms per 256 MiB and the
-    VPU freed for the bank combine (probe_exact_opts.py: 10.7 -> 12.5 GB/s
-    with rb=1024)."""
-    W = np.zeros((256, 128), np.int64)
+def wid_weights(d: int, bits: int, off: int = 0, rows: int = 256):
+    """Banded-matmul weights computing a PACKED WINDOW ID on the MXU:
+    wid[r,l] = sum_i t[r,l+off+i] << (bits*(d-1-i)) over d chars starting
+    `off` into the window — a polynomial with power-of-two coefficients, so
+    the same lo/hi byte-split trick as fp_weights applies (bits*d <= 16
+    keeps every value exact in bf16/f32).  Measured: keys 2.3 -> ~1 ms per
+    256 MiB and the VPU freed for the bank combine (probe_exact_opts.py:
+    10.7 -> 12.5 GB/s with rb=1024).  `rows` must cover 127 + off + d."""
+    W = np.zeros((rows, 128), np.int64)
     for l in range(LANES):
-        for i in range(m):
-            W[l + i, l] = 1 << (bits * (m - 1 - i))
+        for i in range(d):
+            W[l + off + i, l] = 1 << (bits * (d - 1 - i))
     lo = (W & 0xFF).astype(np.float32)
     hi = (W >> 8).astype(np.float32)
     return np.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
