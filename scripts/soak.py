@@ -48,6 +48,12 @@ for trial in range(60):
         got = eng.count(text)
         if got != truth:
             ok = False; print(f"[{trial}] {name} {got} != {truth} ({sigma},{m},{p},{n})")
+        if trial % 3 == 0:
+            # positions parity (the XLA positions path runs off-TPU)
+            pos = make_fast(pats, backend="xla", tile=1 << 12).positions(text)
+            want = np.nonzero(datagen.match_starts(text, pats))[0]
+            if not np.array_equal(pos, want):
+                ok = False; print(f"[{trial}] positions {len(pos)} != {len(want)} ({sigma},{m},{p},{n})")
         if sigma < 256 and trial % 5 == 0:
             mesh = make_mesh(4)
             k = mesh.shape["data"]
