@@ -72,6 +72,31 @@ def main():
             check(f"count_file [{tag}]",
                   fast.count_file(cp, chunk=1 << 20), truth)
 
+        # pipelined batch API: one host fetch for three scans
+        check(f"scan_many [{tag}]",
+              fast.scan_many([tdev, tdev[: 1 << 21], tdev]),
+              [truth, datagen.count_matches(text[: 1 << 21], pats), truth])
+
+    # round-2 surfaces: long patterns on the fused path, dense unbounded
+    # positions, fp-saturating pattern sets
+    ab = Alphabet.protein()
+    text = datagen.generate_text(1 << 22, ab, seed=13)
+    pats = datagen.generate_patterns(text, 50, 256, ab, frac_present=0.6,
+                                     seed=14)
+    truth = datagen.count_matches(text, pats)
+    tdev = jax.device_put(jnp.asarray(text))
+    check("fast count [m=256 long-pattern path]",
+          make_fast(pats).count(tdev), truth)
+
+    abd = Alphabet.dna()
+    dense = np.zeros(1 << 20, np.uint8)
+    from tpu_smatcher.core.patterns import PatternSet
+    dpats = PatternSet(np.zeros((1, 8), np.uint8), abd)
+    dfast = make_fast(dpats, cap=4096)
+    pos = dfast.positions(jax.device_put(jnp.asarray(dense)))
+    check("positions unbounded [1M dense matches]", int(pos.size),
+          (1 << 20) - 7)
+
     print("ALL PASS" if not failures else f"FAILURES: {failures}", flush=True)
     sys.exit(1 if failures else 0)
 

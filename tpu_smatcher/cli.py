@@ -195,7 +195,7 @@ def run_engine(name, text, pats, args):
     t0 = time.time()
     count = scanner.count(tdev)
     t_first = time.time() - t0           # includes compile
-    t_scan = t_first
+    t_scan = t_scan_dev = t_first
     if args.reps > 1:
         import contextlib
         from tpu_smatcher.utils import trace
@@ -207,6 +207,21 @@ def run_engine(name, text, pats, args):
                 count = scanner.count(tdev)
                 times.append(time.time() - t0)
         t_scan = min(times)
+        t_scan_dev = t_scan
+        # device (steady-state) rate: queue reps scans, fetch once — the
+        # per-call rate above includes one host round-trip per scan
+        if args.devices == 1 and hasattr(scanner, "count_async"):
+            q = max(args.reps, 5)
+            t0 = time.time()
+            fs = [scanner.count_async(tdev) for _ in range(q)]
+            fs[-1].result()
+            t_many = time.time() - t0
+            t0 = time.time()
+            scanner.count_async(tdev).result()
+            t_one = time.time() - t0
+            d = (t_many - t_one) / (q - 1)
+            if d > 1e-5:
+                t_scan_dev = d
     if args.positions:
         try:
             if args.devices > 1:
@@ -236,6 +251,7 @@ def run_engine(name, text, pats, args):
         "time_first_scan_s": round(t_first, 4),
         "time_scan_s": round(t_scan, 4),
         "bytes_per_s": round(len(text) / t_scan, 1),
+        "device_bytes_per_s": round(len(text) / t_scan_dev, 1),
     }
 
 
