@@ -116,3 +116,33 @@ def test_distributed_positions():
         dp = DistributedPositions(fast, mesh)
         np.testing.assert_array_equal(dp.positions(text),
                                       _positions_oracle(text, pats))
+
+
+def test_distributed_positions_unbounded_dense():
+    """Dense matches exceed the per-device cap: pieces must split and the
+    full match set still streams out (no global cap)."""
+    from tpu_smatcher.core.patterns import PatternSet
+    from tpu_smatcher.parallel import make_mesh
+    from tpu_smatcher.parallel.dist import DistributedPositions
+    mesh = make_mesh(4)
+    ab = Alphabet.dna()
+    text = np.zeros(8_192, np.uint8)
+    pats = PatternSet(np.zeros((1, 8), np.uint8), ab)
+    fast = make_fast(pats, backend="pallas", interpret=True, cap=256)
+    dp = DistributedPositions(fast, mesh)
+    got = dp.positions(text)
+    np.testing.assert_array_equal(got, np.arange(8_192 - 7, dtype=np.int64))
+
+
+def test_distributed_positions_chunked():
+    from tpu_smatcher.parallel import make_mesh
+    from tpu_smatcher.parallel.dist import DistributedPositions
+    mesh = make_mesh(4)
+    ab = Alphabet.of_size(4)
+    text = datagen.generate_text(12_005, ab, seed=47)
+    pats = datagen.generate_patterns(text, 30, 8, ab, frac_present=0.6,
+                                     seed=48)
+    fast = make_fast(pats, backend="pallas", interpret=True, cap=1024)
+    dp = DistributedPositions(fast, mesh)
+    np.testing.assert_array_equal(dp.positions(text, chunk=700),
+                                  _positions_oracle(text, pats))

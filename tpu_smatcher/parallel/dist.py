@@ -101,79 +101,127 @@ def exchange_halo(local, *, axis: str, k: int, halo: int, sigma: int):
 
 
 class DistributedPositions:
-    """Mesh-distributed match-position reporting over the shared fast path.
+    """Mesh-distributed match-position reporting over the shared fast path —
+    UNBOUNDED, like FastScanner.positions.
 
-    Each device runs the mask kernel + hierarchical compaction (+ word
-    verification on the fingerprint tier) on its own shard, converts local
-    starts to global positions (device i owns starts [i*per, (i+1)*per)),
-    and the per-device (cap,) position arrays concatenate along the mesh
-    axis.  Per-device overflow flags are returned alongside (summed on the
-    host, not psum-ed — see the comment in local_positions) and raise —
-    never a truncated result.
+    Each device scans its shard in pieces (all devices scan the same piece
+    offsets — SPMD): the mask kernel + hierarchical compaction (+ word
+    verification on the fingerprint tier) on each piece, converting local
+    starts to global positions (device i owns starts [i*per, (i+1)*per));
+    per-device (cap,) position arrays concatenate along the mesh axis and
+    stream to the host.  Any piece whose matches exceed the per-device cap
+    is split and rescanned (pieces of <= cap/2 starts cannot overflow), so
+    dense corpora enumerate fully.  Overflow flags return per-device and
+    are summed on the host, not psum-ed — an extra all-reduce makes
+    slow/straggling shards (e.g. interpret mode) trip XLA's
+    collective-rendezvous timeout.
     """
 
     def __init__(self, fast, mesh, *, axis: str = DATA_AXIS):
-        from tpu_smatcher.ops import pallas_filter as pf
-        from tpu_smatcher.ops.fast import (
-            compact_mask, stages_for, verify_matched_at, words_len)
         ft = fast.ft
         if ft.sigma >= 256:
             raise ValueError("distributed scans need sigma <= 255")
-        # the position pipeline is Pallas-only; off-TPU it must interpret
-        interpret = bool(fast.interpret or jax.default_backend() != "tpu")
+        # the mask pipeline is Pallas-only; off-TPU it must interpret
+        self.interpret = bool(fast.interpret
+                              or jax.default_backend() != "tpu")
+        self.fast = fast
         self.mesh = mesh
         self.m = ft.m
         self.sigma = ft.sigma
         self.axis = axis
-        k = mesh.shape[axis]
-        halo = ft.m - 1
+        self.k = mesh.shape[axis]
+        self._fns = {}                  # (per, owned) -> jitted piece fn
 
-        def local_positions(local):               # (per,) per device
-            per = local.shape[0]
+    def _piece_fn(self, per: int, owned: int):
+        """shard_map fn: positions of piece starts [off, off+owned) of each
+        device's shard (off dynamic, owned static)."""
+        if (per, owned) in self._fns:
+            return self._fns[(per, owned)]
+        from tpu_smatcher.ops import pallas_filter as pf
+        from tpu_smatcher.ops.fast import (
+            compact_mask, stages_for, verify_matched_at, words_len)
+        ft = self.fast.ft
+        cap = self.fast.cap
+        axis, k, halo = self.axis, self.k, self.m - 1
+        interpret = self.interpret
+
+        def local_piece(local, off):
             ext = exchange_halo(local, axis=axis, k=k, halo=halo,
                                 sigma=ft.sigma)
-            n = ext.shape[0]                      # static: per + m - 1
+            piece = jax.lax.dynamic_slice(ext, (off,), (owned + halo,))
+            n = owned + halo              # static
             if ft.exact:
-                mask2d = pf.exact_mask_pallas(ext, ft.bitmaps[0], m=ft.m,
+                mask2d = pf.exact_mask_pallas(piece, ft.bitmaps[0], m=ft.m,
                                               sigma=ft.sigma, n=n,
                                               interpret=interpret)
-                idxs, o = compact_mask(mask2d, caprows=fast.caprows,
-                                       cap=fast.cap, row_slots=128)
+                idxs, o = compact_mask(mask2d,
+                                       caprows=min(cap, mask2d.shape[0]),
+                                       cap=cap, row_slots=128)
                 matched = idxs >= 0
             else:
-                kst = stages_for(ft, n, fast.cap)
-                mask2d = pf.filter_mask_pallas(ext, ft.bitmaps[:kst], m=ft.m,
-                                               n=n, n_stages=kst,
+                kst = stages_for(ft, n, cap)
+                mask2d = pf.filter_mask_pallas(piece, ft.bitmaps[:kst],
+                                               m=ft.m, n=n, n_stages=kst,
                                                interpret=interpret)
-                idxs, o = compact_mask(mask2d, caprows=fast.caprows,
-                                       cap=fast.cap, row_slots=128)
-                tw = pf.words_view_pallas(ext, nw=words_len(n, ft.words),
+                idxs, o = compact_mask(mask2d,
+                                       caprows=min(cap, mask2d.shape[0]),
+                                       cap=cap, row_slots=128)
+                tw = pf.words_view_pallas(piece, nw=words_len(n, ft.words),
                                           interpret=interpret)
                 matched = verify_matched_at(
                     tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
                     m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
                     n_starts=n - ft.m + 1, slot_ok=ft.slot_ok) & (idxs >= 0)
-            base = jax.lax.axis_index(axis) * per
+            base = jax.lax.axis_index(axis) * local.shape[0] + off
             pos = jnp.where(matched, idxs + base, -1)
-            # overflow flags stay per-device (summed on host): an extra
-            # all-reduce makes slow/straggling shards (e.g. interpret mode)
-            # trip XLA's collective-rendezvous timeout
             return pos, jnp.reshape(jnp.int32(o), (1,))
 
-        self._fn = jax.jit(shard_map(
-            local_positions, mesh=mesh, in_specs=P(axis),
-            out_specs=(P(axis), P(axis)), check_vma=False))
+        fn = jax.jit(shard_map(
+            local_piece, mesh=self.mesh, in_specs=(P(self.axis), P()),
+            out_specs=(P(self.axis), P(self.axis)), check_vma=False),
+            static_argnums=())
+        self._fns[(per, owned)] = fn
+        return fn
 
-    def positions(self, text):
+    def positions(self, text, *, chunk: int | None = None,
+                  depth: int = 4):
         import numpy as np
         if isinstance(text, np.ndarray):
             sharded, _ = shard_text(text, self.mesh, sigma=self.sigma,
                                     axis=self.axis)
         else:
             sharded = text
-        pos, o = self._fn(sharded)
-        pos = np.asarray(pos)
-        if int(np.asarray(o).sum()):
-            raise OverflowError(
-                "candidate cap exceeded on some shard; raise cap=")
-        return np.sort(pos[pos >= 0]).astype(np.int64)
+        per = sharded.shape[0] // self.k
+        min_chunk = max(self.fast.cap // 2, 1)
+        work = []                        # (off, owned) in shard coordinates
+        if chunk is None:
+            work.append((0, per))
+        else:
+            chunk = max(int(chunk), min_chunk)
+            work.extend((s, min(chunk, per - s))
+                        for s in range(0, per, chunk))
+        work.reverse()
+        inflight, out = [], []
+        while work or inflight:
+            while work and len(inflight) < depth:
+                off, owned = work.pop()
+                fn = self._piece_fn(per, owned)
+                pos_d, o_d = fn(sharded, jnp.int32(off))
+                inflight.append((off, owned, pos_d, o_d))
+            off, owned, pos_d, o_d = inflight.pop(0)
+            if int(np.asarray(o_d).sum()):
+                if owned <= min_chunk:
+                    raise AssertionError(
+                        "distributed positions piece overflowed below the "
+                        "guaranteed size — this is a bug")
+                split = max(min_chunk, owned // 2)
+                for s in range(off, off + owned, split):
+                    work.append((s, min(split, off + owned - s)))
+                continue
+            pos = np.asarray(pos_d)
+            pos = pos[pos >= 0]
+            if pos.size:
+                out.append(pos.astype(np.int64))
+        if not out:
+            return np.empty((0,), np.int64)
+        return np.sort(np.concatenate(out))
