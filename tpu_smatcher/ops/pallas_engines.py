@@ -235,6 +235,8 @@ class EngineFastPath:
                                             row_bytes_for(m))]
 
         self._jcount = jax.jit(self._count_impl)
+        self._jcount_half = jax.jit(functools.partial(self._count_impl,
+                                                      half_cap=True))
         self._jmask = jax.jit(self._mask_impl)
 
     def _stages(self, n):
@@ -258,9 +260,11 @@ class EngineFastPath:
                       for part in fp_weights(FP_MULTS[i], self.m))
         return stages, tables, False
 
-    def _count_impl(self, ext, guard=False):
+    def _count_impl(self, ext, guard=False, half_cap=False):
         """Traceable (count, overflow) over starts of its argument.
-        guard masks pad-contaminated windows (distribution shards)."""
+        guard masks pad-contaminated windows (distribution shards);
+        half_cap uses the optimistic half candidate cap (compact+verify
+        scale with the static cap — the async path retries on overflow)."""
         ft = self.ft
         n = ext.shape[0]        # static under trace
         if n < self.m:
@@ -271,10 +275,11 @@ class EngineFastPath:
                             n=n, count_mode=True, guard=guard,
                             interpret=self.interpret)
             return c, jnp.int32(0)
+        cap = self.cap // 2 if (half_cap and self.cap >= 8192) else self.cap
         mask2d = _run_stages(ext, stages, tables, m=self.m, sigma=self.sigma,
                              n=n, count_mode=False, interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap,
-                               row_slots=self.row_slots)
+        idxs, o = compact_mask(mask2d, caprows=min(self.caprows, cap),
+                               cap=cap, row_slots=self.row_slots)
         tw = words_view_pallas(ext, nw=words_len(n, ft.words),
                                interpret=self.interpret)
         c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
@@ -324,7 +329,7 @@ class EngineFastPath:
         from tpu_smatcher.ops.fast import ScanFuture
         text = jnp.asarray(text, jnp.uint8)
         check_count32(int(text.shape[0]))
-        c, o = self._jcount(text)
+        c, o = self._jcount_half(text)
         return ScanFuture(c, o, retry=functools.partial(self.count, text))
 
     def scan_many(self, texts) -> list[int]:
