@@ -156,7 +156,10 @@ class ACScanner:
         from tpu_smatcher.ops.common import active_fastpath
         fp = active_fastpath(self)
         if fp is not None:
-            return fp.count(text)
+            try:
+                return fp.count(text)
+            except OverflowError:
+                pass          # dense candidates: the capless jnp scan below
         text = jnp.asarray(text, jnp.uint8)
         n = int(text.shape[0])
         if self.q == 1:

@@ -45,7 +45,8 @@ def fastpath_count_async(scanner, text):
     pre-resolved future around the synchronous count (uniform API)."""
     fp = active_fastpath(scanner)
     if fp is not None:
-        return fp.count_async(text)
+        return fp.count_async(
+            text, retry=functools.partial(scanner.count, text))
     from tpu_smatcher.ops.fast import ScanFuture
     return ScanFuture(jnp.int32(scanner.count(text)), jnp.int32(0))
 

@@ -594,6 +594,7 @@ class FastScanner:
             fast_count_core, ft=ft, tile=tile, cap=cap))
         self._jdevice = None           # lazy: count_async's jitted scan
         self._jdevice_pallas = None
+        self._jdense = None            # lazy: _count_chunked's dense pass
 
     def _count_pallas(self, text) -> tuple[int, bool]:
         from tpu_smatcher.ops import pallas_filter as pf
@@ -659,12 +660,13 @@ class FastScanner:
         return self._count_retry(text)
 
     def _count_retry(self, text) -> int:
-        """The synchronous path: full retry ladder, raises on true overflow."""
+        """The synchronous path: full retry ladder; if candidates exceed
+        every trial (dense-match corpora), falls back to budget-sized piece
+        scanning — counts are total functions of the input, never an error
+        about its density."""
         c, o = self.count_with_overflow(text)
         if o:
-            raise OverflowError(
-                "candidate cap exceeded; raise cap= (and row_slots= for "
-                "dense-match workloads) or use backend='xla'")
+            return self._count_chunked(text)
         return c
 
     def _device_count(self, text):
@@ -700,15 +702,8 @@ class FastScanner:
                       n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
         return c, jnp.int32(o)
 
-    def count_async(self, text) -> ScanFuture:
-        """Dispatch a scan and return immediately; the count stays on the
-        device until ScanFuture.result().  Queue many scans back-to-back to
-        amortize the host round-trip (the public count() syncs per call —
-        over a tunneled link that sync dominates small-corpus scans)."""
-        from tpu_smatcher.ops.common import check_count32
+    def _ensure_jdevice(self):
         from tpu_smatcher.ops.pallas_filter import max_fast_m
-        text = jnp.asarray(text, jnp.uint8)
-        check_count32(int(text.shape[0]))
         if self._jdevice is None or self._jdevice_pallas != (
                 self.backend == "pallas" and self.m <= max_fast_m()):
             self._jdevice_pallas = (self.backend == "pallas"
@@ -717,9 +712,87 @@ class FastScanner:
                 self._jdevice = jax.jit(self._device_count)
             else:
                 self._jdevice = self._jit      # tiled XLA path
-        c, o = self._jdevice(text)
+        return self._jdevice
+
+    def count_async(self, text) -> ScanFuture:
+        """Dispatch a scan and return immediately; the count stays on the
+        device until ScanFuture.result().  Queue many scans back-to-back to
+        amortize the host round-trip (the public count() syncs per call —
+        over a tunneled link that sync dominates small-corpus scans)."""
+        from tpu_smatcher.ops.common import check_count32
+        text = jnp.asarray(text, jnp.uint8)
+        check_count32(int(text.shape[0]))
+        c, o = self._ensure_jdevice()(text)
         return ScanFuture(c, o, retry=functools.partial(self._count_retry,
                                                         text))
+
+    def _device_count_dense(self, text):
+        """Like _device_count but row-dense-capable: full cap and the full
+        128 row slots, so a piece of <= cap/4 starts can NEVER overflow
+        (used only by _count_chunked — the dense-corpus fallback)."""
+        from tpu_smatcher.ops import pallas_filter as pf
+        n = text.shape[0]
+        ft = self.ft
+        if n < ft.m:
+            return jnp.int32(0), jnp.int32(0)
+        if ft.exact:
+            return (pf.exact_count_pallas(text, ft.bitmaps[0], m=ft.m,
+                                          sigma=ft.sigma, n=n,
+                                          interpret=self.interpret),
+                    jnp.int32(0))
+        k = stages_for(ft, n, self.cap)
+        mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
+                                       n_stages=k, interpret=self.interpret)
+        idxs, o = compact_mask(mask2d, caprows=min(self.cap, mask2d.shape[0]),
+                               cap=self.cap, row_slots=128)
+        tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
+                                  interpret=self.interpret)
+        c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                      m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
+                      n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+        return c, jnp.int32(o)
+
+    def _count_chunked(self, text, *, depth: int = 4) -> int:
+        """Exact count when candidates exceed every cap trial: scan in
+        (m-1)-halo pieces sized to the budget, splitting any piece that
+        still overflows (pieces of <= cap/4 starts cannot — the dense pass
+        uses the full cap and all 128 row slots).  Dense-match corpora (the
+        reference counts millions per corpus, main.c:656) therefore always
+        count exactly — OverflowError is never a function of the corpus."""
+        text = jnp.asarray(text, jnp.uint8)
+        n = int(text.shape[0])
+        m = self.m
+        total_starts = n - m + 1
+        min_chunk = max(self.cap // 4, 1)
+        from tpu_smatcher.ops.pallas_filter import max_fast_m
+        if self.backend == "pallas" and self.m <= max_fast_m():
+            if self._jdense is None:
+                self._jdense = jax.jit(self._device_count_dense)
+            fn = self._jdense
+        else:
+            fn = self._ensure_jdevice()    # tiled XLA path (cap-only)
+        work = [(0, total_starts)]
+        inflight, total = [], 0
+        while work or inflight:
+            while work and len(inflight) < depth:
+                start, owned = work.pop()
+                piece = jax.lax.slice(text, (start,),
+                                      (min(start + owned + m - 1, n),))
+                c_d, o_d = fn(piece)
+                inflight.append((start, owned, c_d, o_d))
+            start, owned, c_d, o_d = inflight.pop(0)
+            co = np.asarray(jnp.stack([jnp.int32(c_d), jnp.int32(o_d)]))
+            if co[1]:
+                if owned <= min_chunk:
+                    raise AssertionError(
+                        "count piece overflowed below the guaranteed size "
+                        "— this is a bug")
+                half = max(min_chunk, owned // 2)
+                for s in range(start, start + owned, half):
+                    work.append((s, min(half, start + owned - s)))
+            else:
+                total += int(co[0])
+        return total
 
     def scan_many(self, texts) -> list[int]:
         """Counts for a batch of texts, pipelined: all scans are dispatched

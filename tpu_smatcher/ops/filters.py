@@ -201,7 +201,10 @@ class WMScanner:
     def count(self, text) -> int:
         fp = active_fastpath(self)
         if fp is not None:
-            return fp.count(text)
+            try:
+                return fp.count(text)
+            except OverflowError:
+                pass          # dense candidates: the capless jnp scan below
         text = jnp.asarray(text, jnp.uint8)
         return int(wm_count(text, self.shift_ext, self.packed, self.bucket_ids,
                             sigma=self.sigma, m=self.m, lmax=self.lmax,
@@ -231,7 +234,10 @@ class SOGScanner:
     def count(self, text) -> int:
         fp = active_fastpath(self)
         if fp is not None:
-            return fp.count(text)
+            try:
+                return fp.count(text)
+            except OverflowError:
+                pass          # dense candidates: the capless jnp scan below
         text = jnp.asarray(text, jnp.uint8)
         return int(sog_count(text, self.t_table, self.packed, self.bucket_ids,
                              sigma=self.sigma, m=self.m, lmax=self.lmax,
@@ -260,7 +266,10 @@ class SHScanner:
     def count(self, text) -> int:
         fp = active_fastpath(self)
         if fp is not None:
-            return fp.count(text)
+            try:
+                return fp.count(text)
+            except OverflowError:
+                pass          # dense candidates: the capless jnp scan below
         text = jnp.asarray(text, jnp.uint8)
         return int(sh_count(text, self.trans, self.final, sigma=self.sigma,
                             m=self.m, tile=self.tile, n=int(text.shape[0])))
@@ -290,7 +299,10 @@ class SBOMScanner:
     def count(self, text) -> int:
         fp = active_fastpath(self)
         if fp is not None:
-            return fp.count(text)
+            try:
+                return fp.count(text)
+            except OverflowError:
+                pass          # dense candidates: the capless jnp scan below
         text = jnp.asarray(text, jnp.uint8)
         return int(sbom_count(text, self.trans, self.final_count, self.packed,
                               self.bucket_ids, sigma=self.sigma, m=self.m,

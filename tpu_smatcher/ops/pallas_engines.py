@@ -322,15 +322,18 @@ class EngineFastPath:
         (parallel/dist.py psums both and raises on overflow)."""
         return self._count_impl(ext, guard=True)
 
-    def count_async(self, text):
+    def count_async(self, text, retry=None):
         """Dispatch a device-only scan; result stays on device until
-        ScanFuture.result() (see ops/fast.py — same pipelining contract)."""
+        ScanFuture.result() (see ops/fast.py — same pipelining contract).
+        retry overrides the overflow fallback (engines pass their scanner's
+        count, which falls back to the capless jnp scan)."""
         from tpu_smatcher.ops.common import check_count32
         from tpu_smatcher.ops.fast import ScanFuture
         text = jnp.asarray(text, jnp.uint8)
         check_count32(int(text.shape[0]))
         c, o = self._jcount_half(text)
-        return ScanFuture(c, o, retry=functools.partial(self.count, text))
+        return ScanFuture(c, o,
+                          retry=retry or functools.partial(self.count, text))
 
     def scan_many(self, texts) -> list[int]:
         """Pipelined batch counts: dispatch all, fetch once (ops/fast.py)."""

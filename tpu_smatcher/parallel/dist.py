@@ -178,8 +178,7 @@ class DistributedPositions:
 
         fn = jax.jit(shard_map(
             local_piece, mesh=self.mesh, in_specs=(P(self.axis), P()),
-            out_specs=(P(self.axis), P(self.axis)), check_vma=False),
-            static_argnums=())
+            out_specs=(P(self.axis), P(self.axis)), check_vma=False))
         self._fns[(per, owned)] = fn
         return fn
 
