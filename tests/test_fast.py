@@ -131,3 +131,48 @@ def test_long_patterns_fall_back_to_xla(tmp_path):
     pats = datagen.generate_patterns(text, 20, 200, ab, frac_present=0.6, seed=44)
     eng = make_fast(pats, backend="pallas", interpret=True, tile=1 << 12)
     assert eng.count(text) == datagen.count_matches(text, pats)
+
+
+def test_slot_kernel_matches_mask_path():
+    """The fused in-kernel slot compaction (filter_slots_pallas +
+    compact_slots) must yield exactly the mask+compact candidates when no
+    block overflows its slots, and flag overflow (with the slots it does
+    emit being a prefix of the true set) when one does."""
+    import jax.numpy as jnp
+    from tpu_smatcher.ops import pallas_filter as pf
+    from tpu_smatcher.ops.fast import (compact_mask, compact_slots,
+                                       stages_for_block)
+    text, pats = make_case(4, 16, 64, 120_000, seed=7)
+    eng = make_fast(pats, backend="pallas", interpret=True)
+    ft = eng.ft
+    n = text.shape[0]
+    t = jnp.asarray(text)
+    for k in (stages_for_block(ft, pf.FILTER_RB * 128), 1):
+        k = min(k, len(ft.bitmaps))
+        slotmat = pf.filter_slots_pallas(t, ft.bitmaps[:k], m=ft.m, n=n,
+                                         n_stages=k, interpret=True)
+        idxs_s, o_s = compact_slots(slotmat, slots=pf.BLOCK_SLOTS,
+                                    cap=eng.cap)
+        mask2d = pf.filter_mask_pallas(t, ft.bitmaps[:k], m=ft.m, n=n,
+                                       n_stages=k, interpret=True)
+        idxs_m, o_m = compact_mask(mask2d, caprows=eng.cap, cap=eng.cap,
+                                   row_slots=128)
+        a = np.sort(np.asarray(idxs_s)[np.asarray(idxs_s) >= 0])
+        b = np.sort(np.asarray(idxs_m)[np.asarray(idxs_m) >= 0])
+        if not int(np.asarray(o_s)):
+            assert np.array_equal(a, b)
+        else:
+            assert set(a.tolist()) <= set(b.tolist())
+    # per-block counts are the TRUE counts (lane BLOCK_SLOTS)
+    counts = np.asarray(slotmat)[:, pf.BLOCK_SLOTS]
+    assert counts.sum() == np.asarray(mask2d).astype(np.int64).sum()
+
+
+def test_slot_overflow_falls_back_exact():
+    """Dense-match corpora overflow the per-block slots; the async path
+    must transparently retry to an exact count (never undercount)."""
+    ab = Alphabet.protein()   # sigma=20: fp tier even at m=8
+    pats = PatternSet(np.zeros((1, 8), np.uint8), ab)
+    text = np.zeros(50_000, np.uint8)                 # every window matches
+    eng = make_fast(pats, backend="pallas", interpret=True, cap=1 << 12)
+    assert eng.count_async(text).result() == 50_000 - 7

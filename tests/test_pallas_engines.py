@@ -49,7 +49,10 @@ def test_fastpath_core_traceable():
     assert int(c) == datagen.count_matches(text, pats)
 
 
-def test_fastpath_overflow_raises():
+def test_fastpath_overflow_total_count():
+    """Engine counts are TOTAL: a dense-match corpus whose candidates
+    exceed the engine fast path's cap must still count exactly (the engine
+    falls back to its jnp scan), never raise or undercount."""
     from tpu_smatcher.core.patterns import PatternSet
     ab = Alphabet.protein()
     text = np.zeros(8_192, np.uint8)
@@ -57,8 +60,7 @@ def test_fastpath_overflow_raises():
     eng = make_engine("wm", pats, interpret=True)
     eng.fast_path.cap = 256
     eng.fast_path.caprows = 256
-    with pytest.raises(OverflowError):
-        eng.count(text)
+    assert eng.count(text) == 8_192 - 32 + 1
 
 
 def test_byte_alphabet_and_long_patterns():

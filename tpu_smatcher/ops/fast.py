@@ -127,6 +127,24 @@ def stages_for(ft: FastTables, n: int, cap: int) -> int:
     return k
 
 
+def stages_for_block(ft: FastTables, block_positions: int,
+                     lam: float = 1.0) -> int:
+    """Stage count so EXPECTED candidates per slot-kernel grid block stay
+    <= lam (the fused in-kernel compaction extracts BLOCK_SLOTS per block:
+    P[Poisson(1.0) > 8] ~ 1e-6 per block keeps slot overflow — and so the
+    mask-path retry — vanishingly rare on filter-true workloads).  Returns
+    len(ft.bitmaps) + 1 when even every built stage cannot meet the budget
+    (callers then use the mask+compact path)."""
+    if ft.exact:
+        return 1
+    k = 1
+    while block_positions * ft.density ** k > lam:
+        if k >= len(ft.bitmaps):
+            return len(ft.bitmaps) + 1
+        k += 1
+    return k
+
+
 def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None) -> FastTables:
     patterns = np.asarray(patterns, np.uint8)
     if exact_wid_supported(sigma, patterns.shape[1]):
@@ -395,6 +413,26 @@ def compact_mask(mask2d, *, caprows: int = 1 << 16, cap: int = DEFAULT_CAP,
     idxs = jnp.where(sel_live, pos[jnp.minimum(sel, pos.shape[0] - 1)], -1)
     overflow = (jnp.int32(n_rows > caprows) | jnp.int32(row_ovf)
                 | jnp.int32(n_cand > cap))
+    return idxs, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("slots", "cap"))
+def compact_slots(slotmat, *, slots: int, cap: int):
+    """Candidate idxs from the fused slot kernel's (nblocks, 128) output
+    (pallas_filter.filter_slots_pallas): lanes [0, slots) are positions in
+    block order (-1 empty), lane `slots` the true per-block count.
+
+    Returns (idxs (cap,) padded with -1, overflow).  Overflow if any block
+    held more candidates than its slots or the total exceeds cap — callers
+    fall back to the mask+compact path (never an undercount)."""
+    pos = slotmat[:, :slots].reshape(-1)
+    counts = slotmat[:, slots]
+    n_cand = jnp.sum(counts, dtype=jnp.int32)
+    overflow = (jnp.any(counts > slots).astype(jnp.int32)
+                | jnp.int32(n_cand > cap))
+    sel = nonzero_scatter(pos >= 0, cap, pos.shape[0])
+    live = sel < pos.shape[0]
+    idxs = jnp.where(live, pos[jnp.minimum(sel, pos.shape[0] - 1)], -1)
     return idxs, overflow
 
 
@@ -691,10 +729,24 @@ class FastScanner:
                     jnp.int32(0))
         cap = self.cap // 2 if self.cap >= 8192 else self.cap
         k = stages_for(ft, n, self.cap)
-        mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
-                                       n_stages=k, interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=min(self.caprows, cap),
-                               cap=cap, row_slots=self.row_slots)
+        kb = stages_for_block(ft, pf.FILTER_RB * 128)
+        if kb > len(ft.bitmaps):
+            # even all built stages cannot meet the per-block slot budget
+            # (huge/saturating pattern sets) — use the mask+compact path
+            mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
+                                           n_stages=k,
+                                           interpret=self.interpret)
+            idxs, o = compact_mask(mask2d, caprows=min(self.caprows, cap),
+                                   cap=cap, row_slots=self.row_slots)
+        else:
+            # fused in-kernel compaction: the filter kernel itself emits
+            # BLOCK_SLOTS candidate positions per block — no (R, 128) mask
+            # round-trip through HBM, no R-element scatter
+            k = max(k, kb)
+            slotmat = pf.filter_slots_pallas(text, ft.bitmaps[:k], m=ft.m,
+                                             n=n, n_stages=k,
+                                             interpret=self.interpret)
+            idxs, o = compact_slots(slotmat, slots=pf.BLOCK_SLOTS, cap=cap)
         tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
                                   interpret=self.interpret)
         c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,

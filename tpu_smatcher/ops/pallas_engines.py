@@ -38,12 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_smatcher.automata.sog import SOG_B
 from tpu_smatcher.ops.fast import (
     FP_MULTS, DEFAULT_CAP, _bits_per_char, _wid_keys_np, build_fast,
-    compact_mask, compact_verify_retry, stages_for, verify_at, words_len)
+    compact_mask, compact_slots, compact_verify_retry, stages_for,
+    stages_for_block, verify_at, words_len)
 from tpu_smatcher.ops.lookup import pack_bitmap
 from tpu_smatcher.ops.pallas_filter import (
-    LANES, FILTER_RB, _bitmap_lookup, _fp_keys_mxu, _window_positions,
-    derived_keys, fp_weights, n_base_fps, overlap_rows, row_bytes_for,
-    wid_weights, words_view_pallas)
+    BLOCK_SLOTS, LANES, FILTER_RB, _bitmap_lookup, _fp_keys_mxu,
+    _rank_weights, _window_positions, derived_keys, emit_slots, fp_weights,
+    n_base_fps, overlap_rows, row_bytes_for, wid_weights, words_view_pallas)
 
 
 def _value_lookup(table_ref, idx: jnp.ndarray, rb: int) -> jnp.ndarray:
@@ -111,7 +112,7 @@ def _stage_hit(kind, params, ref, t32, rb):
 
 
 def _stages_kernel(tile_ref, *refs, stages, m, sigma, n_starts, rb,
-                   count_mode, guard):
+                   mode, guard):
     t32 = tile_ref[:].astype(jnp.int32)
     t_bf = (t32.astype(jnp.bfloat16)   # hoisted: shared by all MXU stages
             if any(k in ("fpset", "wid") for k, _ in stages) else None)
@@ -132,14 +133,14 @@ def _stages_kernel(tile_ref, *refs, stages, m, sigma, n_starts, rb,
             ri += 1
         h = _stage_hit(kind, params, ref, t32, rb)
         hit = h if hit is None else (hit & h)
-    out_ref = refs[ri]
-    if count_mode and guard:
+    if mode == "count" and guard:
         # counted without verification: mask pad-contaminated windows, whose
         # packed ids can alias real ones (pallas_filter._pad_guard_2d)
         from tpu_smatcher.ops.pallas_filter import _pad_guard_2d
         hit = hit & _pad_guard_2d(t32[:, :LANES + m - 1], m, sigma)
     hit = jnp.where(_window_positions(rb) < n_starts, hit, 0)
-    if count_mode:
+    if mode == "count":
+        out_ref = refs[ri]
         s = jnp.sum(hit, dtype=jnp.int32)
 
         @pl.when(pl.program_id(0) == 0)
@@ -147,22 +148,35 @@ def _stages_kernel(tile_ref, *refs, stages, m, sigma, n_starts, rb,
             out_ref[0, 0] = 0
 
         out_ref[0, 0] += s
+    elif mode == "slots":      # fused in-kernel candidate compaction
+        tril_ref, triu_ref, out_ref = refs[ri], refs[ri + 1], refs[ri + 2]
+        emit_slots(hit, out_ref, tril_ref, triu_ref, rb=rb, slots=BLOCK_SLOTS)
     else:
+        out_ref = refs[ri]
         out_ref[:] = hit.astype(jnp.int8)
 
 
-def _run_stages(text, stages, tables, *, m, sigma, n, count_mode,
+def _run_stages(text, stages, tables, *, m, sigma, n, mode,
                 guard=False, rb=FILTER_RB, interpret=False):
+    """mode: 'count' (scalar total), 'mask' ((R, 128) int8 candidate mask),
+    or 'slots' ((nblocks, 128) compact per-block candidate positions —
+    see pallas_filter.emit_slots / fast.compact_slots)."""
     tile, n_starts = overlap_rows(text, n, m, rb)
     R = tile.shape[0]
     kern = functools.partial(_stages_kernel, stages=tuple(stages), m=m,
                              sigma=sigma, n_starts=n_starts, rb=rb,
-                             count_mode=count_mode, guard=guard)
+                             mode=mode, guard=guard)
+    if mode == "slots":
+        tables = list(tables) + list(_rank_weights(rb))
     table_specs = [pl.BlockSpec(t.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM) for t in tables]
-    if count_mode:
+    if mode == "count":
         out_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
         out_shape = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    elif mode == "slots":
+        out_spec = pl.BlockSpec((1, LANES), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((1, (R // rb) * LANES), jnp.int32)
     else:
         out_spec = pl.BlockSpec((rb, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
@@ -176,7 +190,11 @@ def _run_stages(text, stages, tables, *, m, sigma, n, count_mode,
         out_shape=out_shape,
         interpret=interpret,
     )(tile, *tables)
-    return out[0, 0] if count_mode else out
+    if mode == "count":
+        return out[0, 0]
+    if mode == "slots":
+        return out.reshape(R // rb, LANES)
+    return out
 
 
 def _to_banks(values: np.ndarray) -> jnp.ndarray:
@@ -239,7 +257,7 @@ class EngineFastPath:
                                                       half_cap=True))
         self._jmask = jax.jit(self._mask_impl)
 
-    def _stages(self, n):
+    def _stages(self, n, k_min: int = 1):
         stages, tables = [], []
         if self.stage0 is not None:
             stages.append(self.stage0)
@@ -252,7 +270,7 @@ class EngineFastPath:
             tables.append(wid_weights(self.m, bits, 0,
                                       row_bytes_for(self.m)))
             return stages, tables, True
-        k = stages_for(ft, n, self.cap)
+        k = min(max(stages_for(ft, n, self.cap), k_min), len(ft.bitmaps))
         stages.append(("fpset", (k,)))
         tables.extend(ft.bitmaps[:k])
         # base-fp mults and m live entirely in the prebuilt weights tables
@@ -269,17 +287,28 @@ class EngineFastPath:
         n = ext.shape[0]        # static under trace
         if n < self.m:
             return jnp.int32(0), jnp.int32(0)
-        stages, tables, exact = self._stages(n)
+        kb = stages_for_block(ft, FILTER_RB * 128) if not ft.exact else 1
+        use_slots = (not ft.exact) and half_cap and kb <= len(ft.bitmaps)
+        stages, tables, exact = self._stages(n, k_min=kb if use_slots else 1)
         if exact:
             c = _run_stages(ext, stages, tables, m=self.m, sigma=self.sigma,
-                            n=n, count_mode=True, guard=guard,
+                            n=n, mode="count", guard=guard,
                             interpret=self.interpret)
             return c, jnp.int32(0)
         cap = self.cap // 2 if (half_cap and self.cap >= 8192) else self.cap
-        mask2d = _run_stages(ext, stages, tables, m=self.m, sigma=self.sigma,
-                             n=n, count_mode=False, interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=min(self.caprows, cap),
-                               cap=cap, row_slots=self.row_slots)
+        if use_slots:
+            # fused in-kernel compaction on the async path (the engine
+            # stage only lowers the per-block candidate rate further)
+            slotmat = _run_stages(ext, stages, tables, m=self.m,
+                                  sigma=self.sigma, n=n, mode="slots",
+                                  interpret=self.interpret)
+            idxs, o = compact_slots(slotmat, slots=BLOCK_SLOTS, cap=cap)
+        else:
+            mask2d = _run_stages(ext, stages, tables, m=self.m,
+                                 sigma=self.sigma, n=n, mode="mask",
+                                 interpret=self.interpret)
+            idxs, o = compact_mask(mask2d, caprows=min(self.caprows, cap),
+                                   cap=cap, row_slots=self.row_slots)
         tw = words_view_pallas(ext, nw=words_len(n, ft.words),
                                interpret=self.interpret)
         c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
@@ -290,7 +319,7 @@ class EngineFastPath:
     def _mask_impl(self, ext):
         stages, tables, _ = self._stages(ext.shape[0])
         return _run_stages(ext, stages, tables, m=self.m, sigma=self.sigma,
-                           n=ext.shape[0], count_mode=False,
+                           n=ext.shape[0], mode="mask",
                            interpret=self.interpret)
 
     def count(self, text) -> int:
@@ -351,14 +380,16 @@ class EngineFastPath:
             return np.empty((0,), np.int64)
         stages, tables, exact = self._stages(n)
         mask2d = _run_stages(text, stages, tables, m=self.m, sigma=self.sigma,
-                             n=n, count_mode=False, interpret=self.interpret)
+                             n=n, mode="mask", interpret=self.interpret)
         idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap,
                                row_slots=self.row_slots)
         if exact:
             pos = np.asarray(idxs)
             if bool(np.asarray(o)):
                 raise OverflowError(
-                    "match count exceeds limits; raise cap=/row_slots=")
+                    "match count exceeds the engine positions cap; raise "
+                    "cap=/row_slots= or use FastScanner.positions (unbounded "
+                    "streaming; the match set is identical)")
             return np.sort(pos[pos >= 0]).astype(np.int64)
         tw = words_view_pallas(text, nw=words_len(n, ft.words),
                                interpret=self.interpret)
@@ -368,6 +399,8 @@ class EngineFastPath:
             slot_ok=ft.slot_ok)
         if bool(np.asarray(o)):
             raise OverflowError(
-                "candidate cap exceeded; raise cap=/row_slots=")
+                "candidate cap exceeded; raise cap=/row_slots= or use "
+                "FastScanner.positions (unbounded streaming; the match set "
+                "is identical)")
         pos = np.asarray(idxs)[np.asarray(matched)]
         return np.sort(pos[pos >= 0]).astype(np.int64)

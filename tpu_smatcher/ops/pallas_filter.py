@@ -269,13 +269,12 @@ def derived_keys(bases: list, s: int, smask: int):
     return keys & smask
 
 
-def _filter_kernel(tile_ref, *refs, m, n_stages, n_starts, rb, parts):
-    """k derived stages from <= 3 MXU base fingerprints: adding a stage
-    costs ~3 ALU ops + its bank gathers, not another fingerprint pass."""
+def _candidates(tile_ref, bitmap_refs, w_refs, *, n_stages, n_starts, rb,
+                parts):
+    """Shared filter body: (rb, 128) int32 0/1 candidate mask for the block
+    — k derived stages from <= 3 MXU base fingerprints (adding a stage
+    costs ~3 ALU ops + its bank gathers, not another fingerprint pass)."""
     nw = n_base_fps(n_stages)
-    bitmap_refs = refs[:n_stages]
-    w_refs = refs[n_stages:n_stages + nw * parts]
-    mask_ref = refs[n_stages + nw * parts]
     t_bf = tile_ref[:].astype(jnp.int32).astype(jnp.bfloat16)
     bases = [_fp_keys_mxu(t_bf, w_refs[i * parts:(i + 1) * parts], 0xFFFF)
              for i in range(nw)]
@@ -284,8 +283,125 @@ def _filter_kernel(tile_ref, *refs, m, n_stages, n_starts, rb, parts):
     for s in range(n_stages):
         hit = _bitmap_lookup(bitmap_refs[s], derived_keys(bases, s, smask), rb)
         cand = hit if cand is None else (cand & hit)
-    cand = jnp.where(_window_positions(rb) < n_starts, cand, 0)
+    return jnp.where(_window_positions(rb) < n_starts, cand, 0)
+
+
+def _filter_kernel(tile_ref, *refs, m, n_stages, n_starts, rb, parts):
+    bitmap_refs = refs[:n_stages]
+    nw = n_base_fps(n_stages)
+    w_refs = refs[n_stages:n_stages + nw * parts]
+    mask_ref = refs[n_stages + nw * parts]
+    cand = _candidates(tile_ref, bitmap_refs, w_refs, n_stages=n_stages,
+                       n_starts=n_starts, rb=rb, parts=parts)
     mask_ref[:] = cand.astype(jnp.int8)
+
+
+#: candidate slots extracted per grid block by the fused slot kernel.
+#: Expected candidates per block are rb*128*density^k <= 128*0.5 (the
+#: stages_for row budget), i.e. Poisson(<=0.7) per 16K-position block at
+#: rb=128 — P[count > 8] < 1e-8 per scan, so slot overflow (which falls
+#: back to the mask+compact path) is vanishingly rare on filter-true
+#: workloads and occurs only on dense-MATCH corpora.
+BLOCK_SLOTS = 8
+
+
+def emit_slots(cand, out_ref, tril_ref, triu_ref, *, rb, slots):
+    """IN-KERNEL candidate compaction: write this block's (1, 128) slot row
+    — lanes [0, slots) hold global candidate positions in block order (-1 =
+    empty), lane `slots` the block's TRUE candidate count.
+
+    Per-candidate in-block rank (row-major) comes from two triangular-ones
+    MXU matmuls: rows_before[r] = sum_lanes (TRIL_strict @ cand)[r, :] and
+    lane-exclusive prefix E = cand @ TRIU_strict; slot k then extracts its
+    candidate with one masked reduction (rank == k).  0/1 operands and
+    counts <= 2^24 keep the bf16xbf16->f32 matmuls exact."""
+    total = jnp.sum(cand, dtype=jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    gpos = _window_positions(rb)
+    # unconditional extraction: gating the rank+extract work behind a
+    # pl.when(total > 0) was MEASURED SLOWER (84.3 vs 82.1 ms at m=32 —
+    # the per-block branch disturbs grid-step pipelining more than the
+    # skipped work saves, even with ~half the blocks empty)
+    cf = cand.astype(jnp.bfloat16)
+    rows_before = jnp.sum(
+        jnp.dot(tril_ref[:], cf, preferred_element_type=jnp.float32),
+        axis=1, keepdims=True)                                  # (rb, 1)
+    lane_ex = jnp.dot(cf, triu_ref[:], preferred_element_type=jnp.float32)
+    rank = (rows_before + lane_ex).astype(jnp.int32)            # (rb, 128)
+    out = jnp.full((1, LANES), -1, jnp.int32)
+    is_cand = cand > 0
+    for k in range(slots):
+        pk = jnp.sum(jnp.where(is_cand & (rank == k), gpos + 1, 0),
+                     dtype=jnp.int32) - 1
+        out = jnp.where(lane == k, pk, out)
+    out_ref[:] = jnp.where(lane == slots, total, out)
+
+
+def _filter_slots_kernel(tile_ref, *refs, m, n_stages, n_starts, rb, parts,
+                         slots):
+    """Filter + fused in-kernel compaction (emit_slots).
+
+    Instead of writing the full (R, 128) mask to HBM (268 MB at 256 MiB
+    text) for an XLA scatter-based compaction (~13.5 ms, R-element scatter
+    — see docs/DESIGN.md dead ends), each grid block emits `slots` compact
+    candidate positions + its candidate count: a 2^15x smaller output whose
+    host-side compaction is over nblocks*slots elements."""
+    bitmap_refs = refs[:n_stages]
+    nw = n_base_fps(n_stages)
+    w_refs = refs[n_stages:n_stages + nw * parts]
+    tril_ref, triu_ref = refs[n_stages + nw * parts:n_stages + nw * parts + 2]
+    out_ref = refs[n_stages + nw * parts + 2]
+    cand = _candidates(tile_ref, bitmap_refs, w_refs, n_stages=n_stages,
+                       n_starts=n_starts, rb=rb, parts=parts)
+    emit_slots(cand, out_ref, tril_ref, triu_ref, rb=rb, slots=slots)
+
+
+@functools.lru_cache(maxsize=None)
+def _rank_weights(rb: int):
+    """(TRIL_strict (rb, rb), TRIU_strict (128, 128)) bf16 ones matrices
+    for the in-kernel rank matmuls (0/1 entries: exact in bf16)."""
+    tril = np.tril(np.ones((rb, rb), np.float32), k=-1)
+    triu = np.triu(np.ones((LANES, LANES), np.float32), k=1)
+    return tril.astype(jnp.bfloat16), triu.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n", "n_stages", "slots",
+                                             "rb", "interpret"))
+def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
+                        n_stages: int, slots: int = BLOCK_SLOTS,
+                        rb: int = FILTER_RB,
+                        interpret: bool = False) -> jnp.ndarray:
+    """(nblocks, 128) int32: per-block compact candidate slots.
+
+    Lanes [0, slots) hold global candidate positions in block order (-1 =
+    empty slot); lane `slots` holds the block's TRUE candidate count (count
+    > slots means candidates were dropped — the caller must fall back to
+    filter_mask_pallas + compact_mask).  See fast.compact_slots."""
+    tile, n_starts = overlap_rows(text, n, m, rb)
+    R = tile.shape[0]
+    weights = tuple(part for i in range(n_base_fps(n_stages))
+                    for part in fp_weights(FP_MULTS[i], m))
+    parts = cdiv(m, PART_TERMS)
+    tril, triu = _rank_weights(rb)
+    kern = functools.partial(_filter_slots_kernel, m=m, n_stages=n_stages,
+                             n_starts=n_starts, rb=rb, parts=parts,
+                             slots=slots)
+    return pl.pallas_call(
+        kern,
+        grid=(R // rb,),
+        in_specs=[pl.BlockSpec((rb, row_bytes_for(m)), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for b in bitmaps]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in weights]
+        + [pl.BlockSpec(tril.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+           pl.BlockSpec(triu.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, (R // rb) * LANES), jnp.int32),
+        interpret=interpret,
+    )(tile, *bitmaps, *weights, tril, triu).reshape(R // rb, LANES)
 
 
 #: rows per block for the exact COUNT kernel: larger blocks amortize the
