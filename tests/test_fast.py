@@ -149,8 +149,8 @@ def test_slot_kernel_matches_mask_path():
     t = jnp.asarray(text)
     for k in (stages_for_block(ft, pf.FILTER_RB * 128), 1):
         k = min(k, len(ft.bitmaps))
-        slotmat = pf.filter_slots_pallas(t, ft.bitmaps[:k], m=ft.m, n=n,
-                                         n_stages=k, interpret=True)
+        slotmat, _ = pf.filter_slots_pallas(t, ft.bitmaps[:k], m=ft.m, n=n,
+                                            n_stages=k, interpret=True)
         idxs_s, o_s = compact_slots(slotmat, slots=pf.BLOCK_SLOTS,
                                     cap=eng.cap)
         mask2d = pf.filter_mask_pallas(t, ft.bitmaps[:k], m=ft.m, n=n,
@@ -176,3 +176,25 @@ def test_slot_overflow_falls_back_exact():
     text = np.zeros(50_000, np.uint8)                 # every window matches
     eng = make_fast(pats, backend="pallas", interpret=True, cap=1 << 12)
     assert eng.count_async(text).result() == 50_000 - 7
+
+
+def test_fused_word_view_matches_words_view():
+    """The slot kernel's fused word view must equal words_view_pallas over
+    the verify range, including the grid-extension case (words margin
+    beyond the last start row)."""
+    import jax.numpy as jnp
+    from tpu_smatcher.ops import pallas_filter as pf
+    from tpu_smatcher.ops.fast import stages_for_block, words_len
+    text, pats = make_case(4, 16, 64, 100_003, seed=11)
+    eng = make_fast(pats, backend="pallas", interpret=True)
+    ft = eng.ft
+    n = text.shape[0]
+    t = jnp.asarray(text)
+    k = min(stages_for_block(ft, pf.FILTER_RB * 128), len(ft.bitmaps))
+    nw = words_len(n, ft.words)
+    _, tw_fused = pf.filter_slots_pallas(t, ft.bitmaps[:k], m=ft.m, n=n,
+                                         n_stages=k, nw_min=nw,
+                                         interpret=True)
+    assert tw_fused.shape[0] >= nw
+    tw = pf.words_view_pallas(t, nw=nw, interpret=True)
+    assert np.array_equal(np.asarray(tw_fused)[:nw], np.asarray(tw))

@@ -739,16 +739,18 @@ class FastScanner:
             idxs, o = compact_mask(mask2d, caprows=min(self.caprows, cap),
                                    cap=cap, row_slots=self.row_slots)
         else:
-            # fused in-kernel compaction: the filter kernel itself emits
-            # BLOCK_SLOTS candidate positions per block — no (R, 128) mask
-            # round-trip through HBM, no R-element scatter
+            # fused in-kernel compaction + word view: the filter kernel
+            # itself emits BLOCK_SLOTS candidate positions per block and
+            # the verify word view — no (R, 128) mask round-trip through
+            # HBM, no R-element scatter, no words_view re-read of the text
             k = max(k, kb)
-            slotmat = pf.filter_slots_pallas(text, ft.bitmaps[:k], m=ft.m,
-                                             n=n, n_stages=k,
-                                             interpret=self.interpret)
+            slotmat, tw = pf.filter_slots_pallas(
+                text, ft.bitmaps[:k], m=ft.m, n=n, n_stages=k,
+                nw_min=words_len(n, ft.words), interpret=self.interpret)
             idxs, o = compact_slots(slotmat, slots=pf.BLOCK_SLOTS, cap=cap)
-        tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
-                                  interpret=self.interpret)
+        if kb > len(ft.bitmaps):
+            tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
+                                      interpret=self.interpret)
         c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
                       m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
                       n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
@@ -1015,12 +1017,25 @@ class FastScanner:
                                           interpret=self.interpret),
                     jnp.int32(0))
         k = stages_for(ft, n, self.cap)
-        mask2d = pf.filter_mask_pallas(ext, ft.bitmaps[:k], m=ft.m, n=n,
-                                       n_stages=k, interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap,
-                               row_slots=self.row_slots)
-        tw = pf.words_view_pallas(ext, nw=words_len(n, ft.words),
-                                  interpret=self.interpret)
+        kb = stages_for_block(ft, pf.FILTER_RB * 128)
+        if kb <= len(ft.bitmaps):
+            # fused in-kernel compaction + word view (see _device_count);
+            # overflow still rides the psum so distributed scans raise,
+            # never undercount
+            slotmat, tw = pf.filter_slots_pallas(
+                ext, ft.bitmaps[:max(k, kb)], m=ft.m, n=n,
+                n_stages=max(k, kb), nw_min=words_len(n, ft.words),
+                interpret=self.interpret)
+            idxs, o = compact_slots(slotmat, slots=pf.BLOCK_SLOTS,
+                                    cap=self.cap)
+        else:
+            mask2d = pf.filter_mask_pallas(ext, ft.bitmaps[:k], m=ft.m, n=n,
+                                           n_stages=k,
+                                           interpret=self.interpret)
+            idxs, o = compact_mask(mask2d, caprows=self.caprows,
+                                   cap=self.cap, row_slots=self.row_slots)
+            tw = pf.words_view_pallas(ext, nw=words_len(n, ft.words),
+                                      interpret=self.interpret)
         c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
                       m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
                       n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)

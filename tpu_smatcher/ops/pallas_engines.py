@@ -148,20 +148,34 @@ def _stages_kernel(tile_ref, *refs, stages, m, sigma, n_starts, rb,
             out_ref[0, 0] = 0
 
         out_ref[0, 0] += s
-    elif mode == "slots":      # fused in-kernel candidate compaction
+    elif mode == "slots":      # fused in-kernel compaction + word view
+        from tpu_smatcher.ops.pallas_filter import emit_words
         tril_ref, triu_ref, out_ref = refs[ri], refs[ri + 1], refs[ri + 2]
         emit_slots(hit, out_ref, tril_ref, triu_ref, rb=rb, slots=BLOCK_SLOTS)
+        emit_words(tile_ref, refs[ri + 3], rb=rb)
     else:
         out_ref = refs[ri]
         out_ref[:] = hit.astype(jnp.int8)
 
 
 def _run_stages(text, stages, tables, *, m, sigma, n, mode,
-                guard=False, rb=FILTER_RB, interpret=False):
+                guard=False, nw_min=0, rb=FILTER_RB, interpret=False):
     """mode: 'count' (scalar total), 'mask' ((R, 128) int8 candidate mask),
-    or 'slots' ((nblocks, 128) compact per-block candidate positions —
-    see pallas_filter.emit_slots / fast.compact_slots)."""
+    or 'slots' (((nblocks, 128) compact per-block candidate positions,
+    fused (>= nw_min,) int32 verify word view) — see
+    pallas_filter.emit_slots / emit_words / fast.compact_slots)."""
     tile, n_starts = overlap_rows(text, n, m, rb)
+    if mode == "slots" and tile.shape[0] * (LANES // 4) < nw_min:
+        # extend the grid with zero rows so the fused word view covers the
+        # verify gather margin (pallas_filter.filter_slots_pallas)
+        from tpu_smatcher.ops.common import cdiv
+        h = cdiv(max(m - 1, 1), LANES)
+        R2 = cdiv(cdiv(nw_min, LANES // 4), rb) * rb
+        padded = jnp.zeros((R2 * LANES + h * LANES,),
+                           jnp.uint8).at[:n].set(text[:n])
+        views = [padded[j * LANES: R2 * LANES + j * LANES].reshape(R2, LANES)
+                 for j in range(1 + h)]
+        tile = jnp.concatenate(views, axis=1)
     R = tile.shape[0]
     kern = functools.partial(_stages_kernel, stages=tuple(stages), m=m,
                              sigma=sigma, n_starts=n_starts, rb=rb,
@@ -174,9 +188,12 @@ def _run_stages(text, stages, tables, *, m, sigma, n, mode,
         out_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
         out_shape = jax.ShapeDtypeStruct((1, 1), jnp.int32)
     elif mode == "slots":
-        out_spec = pl.BlockSpec((1, LANES), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((1, (R // rb) * LANES), jnp.int32)
+        out_spec = [pl.BlockSpec((1, LANES), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rb // 4, LANES), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((1, (R // rb) * LANES), jnp.int32),
+                     jax.ShapeDtypeStruct((R // 4, LANES), jnp.int32)]
     else:
         out_spec = pl.BlockSpec((rb, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
@@ -193,7 +210,7 @@ def _run_stages(text, stages, tables, *, m, sigma, n, mode,
     if mode == "count":
         return out[0, 0]
     if mode == "slots":
-        return out.reshape(R // rb, LANES)
+        return out[0].reshape(R // rb, LANES), out[1].reshape(-1)
     return out
 
 
@@ -297,11 +314,12 @@ class EngineFastPath:
             return c, jnp.int32(0)
         cap = self.cap // 2 if (half_cap and self.cap >= 8192) else self.cap
         if use_slots:
-            # fused in-kernel compaction on the async path (the engine
-            # stage only lowers the per-block candidate rate further)
-            slotmat = _run_stages(ext, stages, tables, m=self.m,
-                                  sigma=self.sigma, n=n, mode="slots",
-                                  interpret=self.interpret)
+            # fused in-kernel compaction + word view on the async path (the
+            # engine stage only lowers the per-block candidate rate further)
+            slotmat, tw = _run_stages(ext, stages, tables, m=self.m,
+                                      sigma=self.sigma, n=n, mode="slots",
+                                      nw_min=words_len(n, ft.words),
+                                      interpret=self.interpret)
             idxs, o = compact_slots(slotmat, slots=BLOCK_SLOTS, cap=cap)
         else:
             mask2d = _run_stages(ext, stages, tables, m=self.m,
@@ -309,8 +327,8 @@ class EngineFastPath:
                                  interpret=self.interpret)
             idxs, o = compact_mask(mask2d, caprows=min(self.caprows, cap),
                                    cap=cap, row_slots=self.row_slots)
-        tw = words_view_pallas(ext, nw=words_len(n, ft.words),
-                               interpret=self.interpret)
+            tw = words_view_pallas(ext, nw=words_len(n, ft.words),
+                                   interpret=self.interpret)
         c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
                       m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
                       n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)

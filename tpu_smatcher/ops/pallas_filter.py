@@ -337,9 +337,33 @@ def emit_slots(cand, out_ref, tril_ref, triu_ref, *, rb, slots):
     out_ref[:] = jnp.where(lane == slots, total, out)
 
 
+def emit_words(tile_ref, words_ref, *, rb):
+    """Write this block's (rb//4, 128) int32 LE word view of its 128 owned
+    bytes per row — fused replacement for words_view_pallas (saves that
+    kernel's re-read of the text; the tile is already in VMEM).
+
+    The sublane-split reshape (rb, 128) -> (rb//4, 4, 128) is supported by
+    Mosaic (probe_sublane_stride.py; a strided t[q::4] slice is NOT); the
+    byte extraction is then the same 16 lane-permutation gathers as
+    _words_kernel, on quarter-height arrays."""
+    owned = tile_ref[:, :LANES].astype(jnp.int32).reshape(rb // 4, 4, LANES)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rb // 4, LANES), 1)
+    j4 = (lane & 31) << 2
+    out = jnp.zeros((rb // 4, LANES), jnp.int32)
+    for q in range(4):
+        rq = owned[:, q, :]
+        acc = jnp.zeros((rb // 4, LANES), jnp.int32)
+        for k in range(4):
+            g = jnp.take_along_axis(rq, j4 + k, axis=1)
+            acc = acc | (g << (8 * k))
+        out = jnp.where((lane >> 5) == q, acc, out)
+    words_ref[:] = out
+
+
 def _filter_slots_kernel(tile_ref, *refs, m, n_stages, n_starts, rb, parts,
                          slots):
-    """Filter + fused in-kernel compaction (emit_slots).
+    """Filter + fused in-kernel compaction (emit_slots) + fused word view
+    (emit_words).
 
     Instead of writing the full (R, 128) mask to HBM (268 MB at 256 MiB
     text) for an XLA scatter-based compaction (~13.5 ms, R-element scatter
@@ -351,9 +375,11 @@ def _filter_slots_kernel(tile_ref, *refs, m, n_stages, n_starts, rb, parts,
     w_refs = refs[n_stages:n_stages + nw * parts]
     tril_ref, triu_ref = refs[n_stages + nw * parts:n_stages + nw * parts + 2]
     out_ref = refs[n_stages + nw * parts + 2]
+    words_ref = refs[n_stages + nw * parts + 3]
     cand = _candidates(tile_ref, bitmap_refs, w_refs, n_stages=n_stages,
                        n_starts=n_starts, rb=rb, parts=parts)
     emit_slots(cand, out_ref, tril_ref, triu_ref, rb=rb, slots=slots)
+    emit_words(tile_ref, words_ref, rb=rb)
 
 
 @functools.lru_cache(maxsize=None)
@@ -366,18 +392,35 @@ def _rank_weights(rb: int):
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n", "n_stages", "slots",
-                                             "rb", "interpret"))
+                                             "nw_min", "rb", "interpret"))
 def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
                         n_stages: int, slots: int = BLOCK_SLOTS,
-                        rb: int = FILTER_RB,
-                        interpret: bool = False) -> jnp.ndarray:
-    """(nblocks, 128) int32: per-block compact candidate slots.
+                        nw_min: int = 0, rb: int = FILTER_RB,
+                        interpret: bool = False):
+    """((nblocks, 128) int32 slot rows, (>= nw_min,) int32 word view).
 
-    Lanes [0, slots) hold global candidate positions in block order (-1 =
-    empty slot); lane `slots` holds the block's TRUE candidate count (count
-    > slots means candidates were dropped — the caller must fall back to
-    filter_mask_pallas + compact_mask).  See fast.compact_slots."""
+    Slot rows: lanes [0, slots) hold global candidate positions in block
+    order (-1 = empty slot); lane `slots` holds the block's TRUE candidate
+    count (count > slots means candidates were dropped — the caller must
+    fall back to filter_mask_pallas + compact_mask).  See
+    fast.compact_slots.
+
+    The word view is the fused replacement for words_view_pallas: LE int32
+    words of the text's owned bytes (zero-padded), covering at least
+    nw_min words (pass fast.words_len(n, words)); the grid is extended
+    with zero blocks when the verify margin demands it."""
     tile, n_starts = overlap_rows(text, n, m, rb)
+    if nw_min and tile.shape[0] * (LANES // 4) < nw_min:
+        # every grid block emits rb*32 words of its owned bytes; extend the
+        # grid with zero rows so the word view covers the verify gather
+        # margin (extra rows hold no valid starts — n_starts masks them)
+        h = cdiv(max(m - 1, 1), LANES)
+        R2 = cdiv(cdiv(nw_min, LANES // 4), rb) * rb
+        flat_len = R2 * LANES + h * LANES
+        padded = jnp.zeros((flat_len,), jnp.uint8).at[:n].set(text[:n])
+        views = [padded[j * LANES: R2 * LANES + j * LANES].reshape(R2, LANES)
+                 for j in range(1 + h)]
+        tile = jnp.concatenate(views, axis=1)
     R = tile.shape[0]
     weights = tuple(part for i in range(n_base_fps(n_stages))
                     for part in fp_weights(FP_MULTS[i], m))
@@ -386,7 +429,7 @@ def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
     kern = functools.partial(_filter_slots_kernel, m=m, n_stages=n_stages,
                              n_starts=n_starts, rb=rb, parts=parts,
                              slots=slots)
-    return pl.pallas_call(
+    slotmat, words = pl.pallas_call(
         kern,
         grid=(R // rb,),
         in_specs=[pl.BlockSpec((rb, row_bytes_for(m)), lambda i: (i, 0),
@@ -397,11 +440,15 @@ def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
            for w in weights]
         + [pl.BlockSpec(tril.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
            pl.BlockSpec(triu.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, LANES), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, (R // rb) * LANES), jnp.int32),
+        out_specs=[pl.BlockSpec((1, LANES), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((rb // 4, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1, (R // rb) * LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((R // 4, LANES), jnp.int32)],
         interpret=interpret,
-    )(tile, *bitmaps, *weights, tril, triu).reshape(R // rb, LANES)
+    )(tile, *bitmaps, *weights, tril, triu)
+    return slotmat.reshape(R // rb, LANES), words.reshape(-1)
 
 
 #: rows per block for the exact COUNT kernel: larger blocks amortize the
