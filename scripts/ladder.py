@@ -117,12 +117,22 @@ def main():
         dt = timed(lambda: eng.count(t3), args.reps)
         emit(name, "jnp", n3, dt, eng.count(ppre), truth_pre)
 
-        # rung 4: per-engine Pallas stage pipeline (TPU only)
+        # rung 4: per-engine Pallas stage pipeline (TPU only); the
+        # "engine" rung is sync-included (one host RTT per scan), the
+        # "engine-pipelined" rung is the production steady state
         if on_tpu:
             eng4 = make_engine(name, pats)
-            assert active_fastpath(eng4) is not None
+            fp4 = active_fastpath(eng4)
+            assert fp4 is not None
             dt = timed(lambda: eng4.count(tdev), args.reps)
             emit(name, "engine", args.n, dt, eng4.count(ppre), truth_pre)
+
+            def eng_pipelined():
+                fs = [fp4.count_async(tdev) for _ in range(5)]
+                fs[-1].result()
+            dt = timed(eng_pipelined, args.reps) / 5
+            emit(name, "engine-pipelined", args.n, dt, eng4.count(ppre),
+                 truth_pre)
 
     # rung 5: the shared fast backend, pipelined (TPU only)
     if on_tpu:
