@@ -80,3 +80,16 @@ def test_byte_alphabet_and_long_patterns():
     from tpu_smatcher.engines import make_fast
     assert make_fast(pats2, backend="pallas", interpret=True).count(text2) == truth2
     assert make_engine("sh", pats2, interpret=True, tile=1 << 12).count(text2) == truth2
+
+
+def test_engine_async_fp_tier_slots():
+    """The engine async path's fused slot kernel (fp tier) must count
+    exactly, and dense-match corpora must retry to the exact fallback."""
+    ab = Alphabet.protein()
+    text = datagen.generate_text(60_000, ab, seed=81)
+    pats = datagen.generate_patterns(text, 40, 32, ab, frac_present=0.6,
+                                     seed=82)
+    truth = datagen.count_matches(text, pats)
+    for name in ("wm", "ac"):
+        eng = make_engine(name, pats, interpret=True)
+        assert eng.scan_many([text]) == [truth], name
