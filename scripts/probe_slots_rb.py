@@ -1,0 +1,68 @@
+"""Probe: slots-kernel rows-per-block (rb) — 128 vs 256 (DNA m=32 p=10k,
+256 MiB).  Bigger blocks halve the per-block rank/extract overhead but
+double the per-block candidate rate (stages_for_block adds a stage)."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_smatcher.core.alphabet import Alphabet
+from tpu_smatcher.core import datagen
+from tpu_smatcher.engines import make_fast
+from tpu_smatcher.ops import pallas_filter as pf
+from tpu_smatcher.ops.fast import (compact_slots, stages_for,
+                                   stages_for_block, words_len)
+
+
+def steady(fn, fetch, reps=3, q=9):
+    fn()
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        rs = [fn() for _ in range(q)]
+        fetch(rs[-1])
+        t_many = time.time() - t0
+        t0 = time.time()
+        fetch(fn())
+        t_one = time.time() - t0
+        d = (t_many - t_one) / (q - 1)
+        best = d if best is None else min(best, d)
+    return best
+
+
+def main():
+    n = 1 << 28
+    p = 10_000
+    m = 32
+    ab = Alphabet.dna()
+    text = datagen.generate_text(n, ab, seed=7)
+    pats = datagen.generate_patterns(text, p, m, ab, frac_present=0.5,
+                                     seed=40)
+    sc = make_fast(pats)
+    ft = sc.ft
+    tdev = jax.device_put(jnp.asarray(text))
+    nw = words_len(n, ft.words)
+    red = jax.jit(lambda s: (jnp.sum(s[0]), jnp.sum(s[1][:128])))
+    fetch = lambda r: np.asarray(red(r)[0])
+    counts = {}
+    for rb in (128, 256):
+        k = max(stages_for(ft, n, sc.cap), stages_for_block(ft, rb * 128))
+
+        def run(rb=rb, k=k):
+            return pf.filter_slots_pallas(tdev, ft.bitmaps[:k], m=m, n=n,
+                                          n_stages=k, nw_min=nw, rb=rb)
+        dt = steady(run, fetch)
+        slotmat, _ = run()
+        idxs, o, _ = compact_slots(slotmat, slots=pf.BLOCK_SLOTS, cap=sc.cap)
+        nc = int(np.asarray((idxs >= 0).sum()))
+        counts[rb] = nc
+        print(f"rb={rb} k={k} kernel {dt*1e3:6.1f} ms  ovf={int(np.asarray(o))}"
+              f" n_cand={nc}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,3 +81,54 @@ def test_count_file_pipelined(exact_case):
         assert eng.count_file(path, chunk=13_000, depth=1) == truth
     finally:
         os.unlink(path)
+
+
+def test_async_retry_adds_filter_stages(fp_case):
+    """An overflow retry must still return the exact count (via the sync
+    ladder) and bump the scanner's extra-stage count — bounded — so an
+    adversarial pattern set converges to a harder filter instead of
+    retrying every scan."""
+    text, pats, truth = fp_case
+    eng = make_fast(pats, backend="pallas", interpret=True)
+    assert eng._k_extra == 0
+    assert eng._async_retry(text) == truth        # exact count via ladder
+    assert eng._k_extra == 1
+    assert eng.count_async(text).result() == truth  # retraced, still exact
+    for _ in range(6):
+        eng._async_retry(text)
+    assert eng._k_extra == 4                      # bounded
+    assert eng.count_async(text).result() == truth
+
+
+def test_chunked_verify_matches_full_verify():
+    """verify_chunked must equal the single full-cap verify_at for every
+    candidate count — in particular when candidates spill past the first
+    cond chunk (n_cand > cap/VERIFY_CHUNKS), where the gated chunks must
+    actually execute."""
+    import jax.numpy as jnp
+    from tpu_smatcher.core.alphabet import Alphabet
+    from tpu_smatcher.core import datagen
+    from tpu_smatcher.ops.fast import verify_at, verify_chunked, words_len
+    from tpu_smatcher.ops.pallas_filter import words_view_pallas
+    ab = Alphabet(4)
+    text = datagen.generate_text(50_000, ab, seed=3)
+    pats = datagen.generate_patterns(text, 400, 16, ab, frac_present=0.8,
+                                     seed=4)
+    eng = make_fast(pats, backend="pallas", interpret=True)
+    ft = eng.ft
+    n = len(text)
+    n_starts = n - ft.m + 1
+    tw = words_view_pallas(jnp.asarray(text), nw=words_len(n, ft.words),
+                           interpret=True)
+    cap = 1024                       # 256-candidate chunks
+    for n_fill in (0, 100, 300, 900, 1024):   # spans 1..4 live chunks
+        idxs = np.full(cap, -1, np.int32)
+        idxs[:n_fill] = np.arange(0, n_fill * 7, 7)[:n_fill] % n_starts
+        full = int(verify_at(tw, jnp.asarray(idxs), ft.bucket_ids,
+                             ft.packed, ft.bucket_fp2, m=ft.m,
+                             words=ft.words, lmax=ft.lmax, eb=ft.eb,
+                             n_starts=n_starts, slot_ok=ft.slot_ok))
+        chunked = int(verify_chunked(tw, jnp.asarray(idxs),
+                                     jnp.int32(n_fill), ft,
+                                     n_starts=n_starts))
+        assert chunked == full, (n_fill, chunked, full)

@@ -151,8 +151,8 @@ def test_slot_kernel_matches_mask_path():
         k = min(k, len(ft.bitmaps))
         slotmat, _ = pf.filter_slots_pallas(t, ft.bitmaps[:k], m=ft.m, n=n,
                                             n_stages=k, interpret=True)
-        idxs_s, o_s = compact_slots(slotmat, slots=pf.BLOCK_SLOTS,
-                                    cap=eng.cap)
+        idxs_s, o_s, n_cand = compact_slots(slotmat, slots=pf.BLOCK_SLOTS,
+                                            cap=eng.cap)
         mask2d = pf.filter_mask_pallas(t, ft.bitmaps[:k], m=ft.m, n=n,
                                        n_stages=k, interpret=True)
         idxs_m, o_m = compact_mask(mask2d, caprows=eng.cap, cap=eng.cap,
@@ -161,6 +161,7 @@ def test_slot_kernel_matches_mask_path():
         b = np.sort(np.asarray(idxs_m)[np.asarray(idxs_m) >= 0])
         if not int(np.asarray(o_s)):
             assert np.array_equal(a, b)
+            assert int(np.asarray(n_cand)) == len(a)   # true total, packed
         else:
             assert set(a.tolist()) <= set(b.tolist())
     # per-block counts are the TRUE counts (lane BLOCK_SLOTS)

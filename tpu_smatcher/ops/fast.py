@@ -63,6 +63,11 @@ STAGE_CD = ((0, 0), (1, 0),
             (0xA845, 0x325F), (0xCA45, 0x1C1B), (0x4219, 0xB033))
 DEFAULT_TILE = 1 << 24
 DEFAULT_CAP = 1 << 16
+#: measured joint-FPR correlation of the derived filter stages (all affine
+#: in the same 3 base fingerprints): actual candidate rates run ~5x the
+#: independence product of the stage fills (p=10k, 16384-bit stages, k=13:
+#: 3.25 false candidates per 16K block vs 0.6 estimated)
+STAGE_CF = 5.0
 
 
 def _bits_per_char(sigma: int) -> int:
@@ -111,6 +116,11 @@ class FastTables:
     slot_ok: bool = False   # fp2 unique within every bucket -> slot-select
                             # verify (one full compare instead of lmax)
     stage_bits: int = BITMAP_BITS   # bits per fingerprint-stage bitmap
+    stage_fills: tuple = ()  # TRUE fill fraction of each built stage bitmap
+                             # (density is stage 0 only; derived stages run
+                             # slightly denser — measured 0.48 vs 0.46 at
+                             # p=10k/16384 bits — and the per-block slot
+                             # budget must use the real prefix product)
 
 
 def stages_for(ft: FastTables, n: int, cap: int) -> int:
@@ -128,19 +138,33 @@ def stages_for(ft: FastTables, n: int, cap: int) -> int:
 
 
 def stages_for_block(ft: FastTables, block_positions: int,
-                     lam: float = 1.0) -> int:
-    """Stage count so EXPECTED candidates per slot-kernel grid block stay
-    <= lam (the fused in-kernel compaction extracts BLOCK_SLOTS per block:
-    P[Poisson(1.0) > 8] ~ 1e-6 per block keeps slot overflow — and so the
-    mask-path retry — vanishingly rare on filter-true workloads).  Returns
-    len(ft.bitmaps) + 1 when even every built stage cannot meet the budget
-    (callers then use the mask+compact path)."""
+                     lam: float = 3.5, cf: float = STAGE_CF) -> int:
+    """Stage count so expected false candidates per slot-kernel grid block
+    stay <= lam (the fused in-kernel compaction extracts BLOCK_SLOTS=16
+    per block; measured per-block histograms cluster up to ~4.3x the mean,
+    so lam=3.5 keeps the observed max ~15 <= 16, and slot overflow — and
+    so the mask-path retry — stays off the measured corpora).
+
+    Expected candidates use the TRUE prefix product of the built stages'
+    fills (derived stages run denser than stage 0) times the measured
+    correlation factor cf: the derived stages are all affine in the same
+    3 base fingerprints, so their joint pass rate is NOT the product of
+    the marginals — measured ~5x the independence estimate at p=10k /
+    16384-bit stages, k=13 (3.25 false cands per 16K block vs 0.6
+    estimated).  Overflow remains possible for adversarial pattern sets
+    (FastScanner adapts by adding stages after a retry) and for
+    dense-MATCH corpora (which fall back to the exact mask path).
+    Returns len(ft.bitmaps) + 1 when even every built stage cannot meet
+    the budget (callers then use the mask+compact path)."""
     if ft.exact:
         return 1
+    fills = ft.stage_fills or tuple(ft.density for _ in ft.bitmaps)
     k = 1
-    while block_positions * ft.density ** k > lam:
+    prod = fills[0]
+    while block_positions * prod * cf > lam:
         if k >= len(ft.bitmaps):
             return len(ft.bitmaps) + 1
+        prod *= fills[k]
         k += 1
     return k
 
@@ -191,10 +215,14 @@ def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None)
     k_build = int(min(len(STAGE_CD), max(3, math.ceil(need) + 1)))
     smask = stage_bits - 1
     bitmaps = []
+    stage_fills = []
     for s in range(k_build):
         C, D = STAGE_CD[s]
         key = (fps[0] + C * fps[1] + D * fps[2]) & smask
-        bitmaps.append(jnp.asarray(pack_bitmap(key, stage_bits)))
+        bm_s = pack_bitmap(key, stage_bits)
+        stage_fills.append(float(np.count_nonzero(
+            np.unpackbits(bm_s.view(np.uint8)))) / stage_bits)
+        bitmaps.append(jnp.asarray(bm_s))
 
     if n_stages is None:
         k = 1
@@ -227,7 +255,8 @@ def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None)
     return FastTables(False, m, sigma, n_stages,
                       tuple(bitmaps), jnp.asarray(bucket.reshape(-1)), lmax,
                       jnp.asarray(packed), packed.shape[1], eb, density,
-                      jnp.asarray(bucket_fp2.reshape(-1)), slot_ok, stage_bits)
+                      jnp.asarray(bucket_fp2.reshape(-1)), slot_ok, stage_bits,
+                      tuple(stage_fills))
 
 
 # ---------------------------------------------------------------------------
@@ -422,9 +451,11 @@ def compact_slots(slotmat, *, slots: int, cap: int):
     (pallas_filter.filter_slots_pallas): lanes [0, slots) are positions in
     block order (-1 empty), lane `slots` the true per-block count.
 
-    Returns (idxs (cap,) padded with -1, overflow).  Overflow if any block
-    held more candidates than its slots or the total exceeds cap — callers
-    fall back to the mask+compact path (never an undercount)."""
+    Returns (idxs (cap,) densely packed then -1 padded, overflow, n_cand).
+    Overflow if any block held more candidates than its slots or the total
+    exceeds cap — callers fall back to the mask+compact path (never an
+    undercount).  n_cand (the TRUE candidate total, possibly > cap) gates
+    verify_chunked's cond chunks."""
     pos = slotmat[:, :slots].reshape(-1)
     counts = slotmat[:, slots]
     n_cand = jnp.sum(counts, dtype=jnp.int32)
@@ -433,7 +464,7 @@ def compact_slots(slotmat, *, slots: int, cap: int):
     sel = nonzero_scatter(pos >= 0, cap, pos.shape[0])
     live = sel < pos.shape[0]
     idxs = jnp.where(live, pos[jnp.minimum(sel, pos.shape[0] - 1)], -1)
-    return idxs, overflow
+    return idxs, overflow, n_cand
 
 
 def words_len(n: int, words: int) -> int:
@@ -450,6 +481,40 @@ def verify_at(text_words, idxs, bucket_ids, packed, bucket_fp2, *, m, words,
                            m=m, words=words, lmax=lmax, eb=eb,
                            n_starts=n_starts, slot_ok=slot_ok
                            ).sum(dtype=jnp.int32)
+
+
+#: cond chunks of verify_chunked: 4 x 16K-candidate chunks at the default
+#: 64K cap.  More chunks track the true candidate count finer but each
+#: chunk compiles its own verify branch; 4 recovers most of the win (the
+#: BASELINE m=32 corpus has ~27k candidates -> 2 chunks run).
+VERIFY_CHUNKS = 4
+
+
+def verify_chunked(tw, idxs, n_cand, ft: FastTables, *, n_starts: int,
+                   chunks: int = VERIFY_CHUNKS):
+    """Cond-gated chunked verification: verify the densely packed idxs in
+    `chunks` static slices, each behind lax.cond(n_cand > chunk_start), so
+    verify cost scales with the TRUE candidate count at runtime instead of
+    the static cap — no retrace, no optimistic-cap bookkeeping.  XLA
+    compiles every branch once but executes only the populated chunks
+    (candidates are packed at the front; chunk 0 always runs).  With a
+    full-cap pass this replaces the old half-cap/retry economy: few
+    candidates cost little, many candidates just run more chunks, and
+    overflow means strictly > cap candidates (rarer than > cap/2)."""
+    cap = int(idxs.shape[0])
+    verify = functools.partial(
+        verify_at, bucket_ids=ft.bucket_ids, packed=ft.packed,
+        bucket_fp2=ft.bucket_fp2, m=ft.m, words=ft.words, lmax=ft.lmax,
+        eb=ft.eb, n_starts=n_starts, slot_ok=ft.slot_ok)
+    if chunks <= 1 or cap % chunks != 0:
+        return verify(tw, idxs)
+    cs = cap // chunks
+    c = verify(tw, idxs[:cs])
+    for ci in range(1, chunks):
+        c = c + jax.lax.cond(n_cand > ci * cs,
+                             lambda s=ci * cs: verify(tw, idxs[s:s + cs]),
+                             lambda: jnp.int32(0))
+    return c
 
 
 @functools.partial(jax.jit, static_argnames=("m", "words", "lmax", "eb",
@@ -632,7 +697,13 @@ class FastScanner:
             fast_count_core, ft=ft, tile=tile, cap=cap))
         self._jdevice = None           # lazy: count_async's jitted scan
         self._jdevice_pallas = None
+        self._jdevice_cap = None
         self._jdense = None            # lazy: _count_chunked's dense pass
+        #: extra filter stages beyond the static budgets; bumped on async
+        #: overflow (_async_retry), so a pattern set whose correlated-stage
+        #: FPR beats the estimates converges to a non-overflowing
+        #: configuration instead of retrying every scan
+        self._k_extra = 0
 
     def _count_pallas(self, text) -> tuple[int, bool]:
         from tpu_smatcher.ops import pallas_filter as pf
@@ -692,8 +763,8 @@ class FastScanner:
     def count(self, text) -> int:
         from tpu_smatcher.ops.pallas_filter import max_fast_m
         if self.backend == "pallas" and self.m <= max_fast_m():
-            # one dispatch + one host fetch (the optimistic half-cap device
-            # pass); overflow falls back to the full retry ladder
+            # one dispatch + one host fetch (the fused-slot device pass
+            # with chunked verify); overflow falls back to the retry ladder
             return self.count_async(text).result()
         return self._count_retry(text)
 
@@ -711,10 +782,12 @@ class FastScanner:
         """Traceable (count, overflow) over the whole text — the device-only
         scan behind count_async (single compact pass, no host round trips).
 
-        Uses the OPTIMISTIC half cap (compact+verify cost scales with the
-        static cap; stages are sized so expected candidates <= cap/4, so
-        the half-cap pass succeeds with 2x margin) — on the rare overflow
-        the future's retry runs the full synchronous ladder."""
+        Compacts at the FULL cap but verifies via cond-gated chunks
+        (verify_chunked), so verify cost follows the true candidate count
+        at runtime — no optimistic-cap bookkeeping, no retrace on
+        overflow.  On the rare overflow (> cap candidates) the future's
+        retry runs the full synchronous ladder, and the scanner adds a
+        filter stage for subsequent scans (_async_retry)."""
         n = text.shape[0]
         ft = self.ft
         if self.backend != "pallas":
@@ -727,9 +800,9 @@ class FastScanner:
                                           sigma=ft.sigma, n=n,
                                           interpret=self.interpret),
                     jnp.int32(0))
-        cap = self.cap // 2 if self.cap >= 8192 else self.cap
         k = stages_for(ft, n, self.cap)
         kb = stages_for_block(ft, pf.FILTER_RB * 128)
+        cap = self.cap
         if kb > len(ft.bitmaps):
             # even all built stages cannot meet the per-block slot budget
             # (huge/saturating pattern sets) — use the mask+compact path
@@ -738,35 +811,53 @@ class FastScanner:
                                            interpret=self.interpret)
             idxs, o = compact_mask(mask2d, caprows=min(self.caprows, cap),
                                    cap=cap, row_slots=self.row_slots)
+            tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
+                                      interpret=self.interpret)
+            c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                          m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
+                          n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
         else:
             # fused in-kernel compaction + word view: the filter kernel
             # itself emits BLOCK_SLOTS candidate positions per block and
             # the verify word view — no (R, 128) mask round-trip through
             # HBM, no R-element scatter, no words_view re-read of the text
-            k = max(k, kb)
+            k = min(max(k, kb) + self._k_extra, len(ft.bitmaps))
             slotmat, tw = pf.filter_slots_pallas(
                 text, ft.bitmaps[:k], m=ft.m, n=n, n_stages=k,
                 nw_min=words_len(n, ft.words), interpret=self.interpret)
-            idxs, o = compact_slots(slotmat, slots=pf.BLOCK_SLOTS, cap=cap)
-        if kb > len(ft.bitmaps):
-            tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
-                                      interpret=self.interpret)
-        c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
-                      m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
-                      n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+            idxs, o, n_cand = compact_slots(slotmat, slots=pf.BLOCK_SLOTS,
+                                            cap=cap)
+            c = verify_chunked(tw, idxs, n_cand, ft, n_starts=n - ft.m + 1)
         return c, jnp.int32(o)
 
     def _ensure_jdevice(self):
         from tpu_smatcher.ops.pallas_filter import max_fast_m
-        if self._jdevice is None or self._jdevice_pallas != (
-                self.backend == "pallas" and self.m <= max_fast_m()):
+        if (self._jdevice is None
+                or self._jdevice_cap != self._k_extra
+                or self._jdevice_pallas != (
+                    self.backend == "pallas" and self.m <= max_fast_m())):
             self._jdevice_pallas = (self.backend == "pallas"
                                     and self.m <= max_fast_m())
+            self._jdevice_cap = self._k_extra
             if self._jdevice_pallas:
                 self._jdevice = jax.jit(self._device_count)
             else:
                 self._jdevice = self._jit      # tiled XLA path
         return self._jdevice
+
+    def _async_retry(self, text) -> int:
+        """ScanFuture overflow fallback: count exactly via the synchronous
+        ladder, then add a filter stage so later scans of this scanner
+        filter harder instead of overflowing again (one retrace per bump;
+        chunked verify already makes the cap itself a non-issue below
+        `cap` candidates, so overflow means the pattern set's correlated
+        FPR genuinely exceeds the stage budget)."""
+        if not self.ft.exact:
+            # bounded: on dense-MATCH corpora extra stages cannot help
+            # (matches pass every stage) — the retry/chunked path owns
+            # those, so don't let k_extra climb without bound
+            self._k_extra = min(self._k_extra + 1, 4)
+        return self._count_retry(text)
 
     def count_async(self, text) -> ScanFuture:
         """Dispatch a scan and return immediately; the count stays on the
@@ -777,7 +868,7 @@ class FastScanner:
         text = jnp.asarray(text, jnp.uint8)
         check_count32(int(text.shape[0]))
         c, o = self._ensure_jdevice()(text)
-        return ScanFuture(c, o, retry=functools.partial(self._count_retry,
+        return ScanFuture(c, o, retry=functools.partial(self._async_retry,
                                                         text))
 
     def _device_count_dense(self, text):
@@ -1026,8 +1117,9 @@ class FastScanner:
                 ext, ft.bitmaps[:max(k, kb)], m=ft.m, n=n,
                 n_stages=max(k, kb), nw_min=words_len(n, ft.words),
                 interpret=self.interpret)
-            idxs, o = compact_slots(slotmat, slots=pf.BLOCK_SLOTS,
-                                    cap=self.cap)
+            idxs, o, n_cand = compact_slots(slotmat, slots=pf.BLOCK_SLOTS,
+                                            cap=self.cap)
+            c = verify_chunked(tw, idxs, n_cand, ft, n_starts=n - ft.m + 1)
         else:
             mask2d = pf.filter_mask_pallas(ext, ft.bitmaps[:k], m=ft.m, n=n,
                                            n_stages=k,
@@ -1036,7 +1128,7 @@ class FastScanner:
                                    cap=self.cap, row_slots=self.row_slots)
             tw = pf.words_view_pallas(ext, nw=words_len(n, ft.words),
                                       interpret=self.interpret)
-        c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
-                      m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
-                      n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+            c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                          m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
+                          n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
         return c, jnp.int32(o)

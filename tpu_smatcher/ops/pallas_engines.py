@@ -39,6 +39,7 @@ from tpu_smatcher.automata.sog import SOG_B
 from tpu_smatcher.ops.fast import (
     FP_MULTS, DEFAULT_CAP, _bits_per_char, _wid_keys_np, build_fast,
     compact_mask, compact_slots, compact_verify_retry, stages_for,
+    verify_chunked,
     stages_for_block, verify_at, words_len)
 from tpu_smatcher.ops.lookup import pack_bitmap
 from tpu_smatcher.ops.pallas_filter import (
@@ -298,8 +299,9 @@ class EngineFastPath:
     def _count_impl(self, ext, guard=False, half_cap=False):
         """Traceable (count, overflow) over starts of its argument.
         guard masks pad-contaminated windows (distribution shards);
-        half_cap uses the optimistic half candidate cap (compact+verify
-        scale with the static cap — the async path retries on overflow)."""
+        half_cap selects the async fused-slot path (full cap + cond-gated
+        chunked verify — verify cost follows the true candidate count, see
+        fast.verify_chunked — with the retry ladder behind it)."""
         ft = self.ft
         n = ext.shape[0]        # static under trace
         if n < self.m:
@@ -312,7 +314,6 @@ class EngineFastPath:
                             n=n, mode="count", guard=guard,
                             interpret=self.interpret)
             return c, jnp.int32(0)
-        cap = self.cap // 2 if (half_cap and self.cap >= 8192) else self.cap
         if use_slots:
             # fused in-kernel compaction + word view on the async path (the
             # engine stage only lowers the per-block candidate rate further)
@@ -320,15 +321,17 @@ class EngineFastPath:
                                       sigma=self.sigma, n=n, mode="slots",
                                       nw_min=words_len(n, ft.words),
                                       interpret=self.interpret)
-            idxs, o = compact_slots(slotmat, slots=BLOCK_SLOTS, cap=cap)
-        else:
-            mask2d = _run_stages(ext, stages, tables, m=self.m,
-                                 sigma=self.sigma, n=n, mode="mask",
-                                 interpret=self.interpret)
-            idxs, o = compact_mask(mask2d, caprows=min(self.caprows, cap),
-                                   cap=cap, row_slots=self.row_slots)
-            tw = words_view_pallas(ext, nw=words_len(n, ft.words),
-                                   interpret=self.interpret)
+            idxs, o, n_cand = compact_slots(slotmat, slots=BLOCK_SLOTS,
+                                            cap=self.cap)
+            c = verify_chunked(tw, idxs, n_cand, ft, n_starts=n - ft.m + 1)
+            return c, jnp.int32(o)
+        mask2d = _run_stages(ext, stages, tables, m=self.m,
+                             sigma=self.sigma, n=n, mode="mask",
+                             interpret=self.interpret)
+        idxs, o = compact_mask(mask2d, caprows=min(self.caprows, self.cap),
+                               cap=self.cap, row_slots=self.row_slots)
+        tw = words_view_pallas(ext, nw=words_len(n, ft.words),
+                               interpret=self.interpret)
         c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
                       m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
                       n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)

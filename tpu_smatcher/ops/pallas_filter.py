@@ -297,12 +297,22 @@ def _filter_kernel(tile_ref, *refs, m, n_stages, n_starts, rb, parts):
 
 
 #: candidate slots extracted per grid block by the fused slot kernel.
-#: Expected candidates per block are rb*128*density^k <= 128*0.5 (the
-#: stages_for row budget), i.e. Poisson(<=0.7) per 16K-position block at
-#: rb=128 — P[count > 8] < 1e-8 per scan, so slot overflow (which falls
-#: back to the mask+compact path) is vanishingly rare on filter-true
-#: workloads and occurs only on dense-MATCH corpora.
-BLOCK_SLOTS = 8
+#: The stages_for_block budget keeps expected FALSE candidates per
+#: 16K-position block modest, but the derived stages are correlated (all
+#: affine in the same 3 base fps — measured joint FPR ~5x the
+#: independence product at p=10k: 3.25 false cands/block at k=13 vs 0.6
+#: estimated) AND candidates CLUSTER (repetitive text regions): the
+#: measured per-block histogram at the BASELINE m=16 DNA p=10k corpus has
+#: max 14 candidates in one block while the mean is 3.6 — so Poisson tail
+#: math undershoots and 8 or 12 slots overflow DETERMINISTICALLY on real
+#: corpora (the candidate set is a function of the input), sending every
+#: scan through the full mask-path retry.  16 slots cleared every
+#: measured corpus with margin; marginal cost is ~0.6 ms per slot per
+#: 256 MiB scan (8 -> 16: +4.4 ms at m=32), and 16 slots at the base
+#: stage count beat 12-slots-plus-an-adaptive-extra-stage (3.23 vs 2.95
+#: GB/s at m=16).  Overflow still falls back to the exact mask+compact
+#: path, so adversarial and dense-MATCH corpora stay total and exact.
+BLOCK_SLOTS = 16
 
 
 def emit_slots(cand, out_ref, tril_ref, triu_ref, *, rb, slots):
