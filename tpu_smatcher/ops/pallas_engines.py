@@ -271,8 +271,8 @@ class EngineFastPath:
                                             row_bytes_for(m))]
 
         self._jcount = jax.jit(self._count_impl)
-        self._jcount_half = jax.jit(functools.partial(self._count_impl,
-                                                      half_cap=True))
+        self._jcount_fused = jax.jit(functools.partial(self._count_impl,
+                                                       fused=True))
         self._jmask = jax.jit(self._mask_impl)
 
     def _stages(self, n, k_min: int = 1):
@@ -296,10 +296,10 @@ class EngineFastPath:
                       for part in fp_weights(FP_MULTS[i], self.m))
         return stages, tables, False
 
-    def _count_impl(self, ext, guard=False, half_cap=False):
+    def _count_impl(self, ext, guard=False, fused=False):
         """Traceable (count, overflow) over starts of its argument.
         guard masks pad-contaminated windows (distribution shards);
-        half_cap selects the async fused-slot path (full cap + cond-gated
+        fused selects the async fused-slot path (full cap + cond-gated
         chunked verify — verify cost follows the true candidate count, see
         fast.verify_chunked — with the retry ladder behind it)."""
         ft = self.ft
@@ -307,7 +307,7 @@ class EngineFastPath:
         if n < self.m:
             return jnp.int32(0), jnp.int32(0)
         kb = stages_for_block(ft, FILTER_RB * 128) if not ft.exact else 1
-        use_slots = (not ft.exact) and half_cap and kb <= len(ft.bitmaps)
+        use_slots = (not ft.exact) and fused and kb <= len(ft.bitmaps)
         stages, tables, exact = self._stages(n, k_min=kb if use_slots else 1)
         if exact:
             c = _run_stages(ext, stages, tables, m=self.m, sigma=self.sigma,
@@ -381,7 +381,7 @@ class EngineFastPath:
         from tpu_smatcher.ops.fast import ScanFuture
         text = jnp.asarray(text, jnp.uint8)
         check_count32(int(text.shape[0]))
-        c, o = self._jcount_half(text)
+        c, o = self._jcount_fused(text)
         return ScanFuture(c, o,
                           retry=retry or functools.partial(self.count, text))
 
