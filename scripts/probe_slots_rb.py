@@ -48,9 +48,13 @@ def main():
     nw = words_len(n, ft.words)
     red = jax.jit(lambda s: (jnp.sum(s[0]), jnp.sum(s[1][:128])))
     fetch = lambda r: np.asarray(red(r)[0])
-    counts = {}
     for rb in (128, 256):
-        k = max(stages_for(ft, n, sc.cap), stages_for_block(ft, rb * 128))
+        kb = stages_for_block(ft, rb * 128)
+        if kb > len(ft.bitmaps):
+            print(f"rb={rb}: no stage prefix meets the per-block budget "
+                  f"(mask path would be used) — skipping", flush=True)
+            continue
+        k = min(max(stages_for(ft, n, sc.cap), kb), len(ft.bitmaps))
 
         def run(rb=rb, k=k):
             return pf.filter_slots_pallas(tdev, ft.bitmaps[:k], m=m, n=n,
@@ -59,7 +63,6 @@ def main():
         slotmat, _ = run()
         idxs, o, _ = compact_slots(slotmat, slots=pf.BLOCK_SLOTS, cap=sc.cap)
         nc = int(np.asarray((idxs >= 0).sum()))
-        counts[rb] = nc
         print(f"rb={rb} k={k} kernel {dt*1e3:6.1f} ms  ovf={int(np.asarray(o))}"
               f" n_cand={nc}", flush=True)
 

@@ -123,11 +123,42 @@ class FastTables:
                              # budget must use the real prefix product)
 
 
+def fp_rate(ft: FastTables, k: int, cf: float = STAGE_CF) -> float:
+    """Expected per-position false-candidate rate after the first k filter
+    stages: the TRUE prefix product of the built stages' bitmap fills
+    (derived stages run denser than stage 0) times the measured correlation
+    factor cf.  The derived stages are all affine in the same 3 base
+    fingerprints, so their joint pass rate is NOT the product of the
+    marginals — measured ~5x the independence estimate at p=10k/16384-bit
+    stages (3.25 false candidates per 16K block at k=13 vs 0.6 estimated).
+    Used by the PER-BLOCK slot budget (stages_for_block) and build-time
+    sizing; the total-cap budget (stages_for) deliberately keeps its
+    jointly-calibrated independence estimate — see its docstring."""
+    if ft.exact:
+        return 0.0
+    fills = ft.stage_fills or tuple(ft.density for _ in ft.bitmaps)
+    prod = 1.0
+    for s in range(min(k, len(fills))):
+        prod *= fills[s]
+    return min(prod * cf, 1.0)
+
+
 def stages_for(ft: FastTables, n: int, cap: int) -> int:
-    """Stage count so (a) expected false positives over n positions fit well
-    inside the candidate cap (n * density^k <= cap/4) and (b) the per-row
-    candidate rate stays far below compact_mask's row_slots budget
-    (128 * density^k <= 0.5, i.e. P[Poisson row count > 8] ~ 1e-9)."""
+    """Stage count so (a) expected false candidates over n positions fit
+    well inside the candidate cap (n * density^k <= cap/4) and (b) the
+    per-row candidate rate stays far below compact_mask's row_slots budget
+    (128 * density^k <= 0.5).
+
+    DELIBERATELY uses the independence estimate, not fp_rate: this
+    threshold pair is jointly calibrated — the 4x cap margin absorbs the
+    measured TOTAL-level stage correlation (~2.4x at the baseline m=32
+    corpus: 27k true candidates vs the 11k estimate at k=13), and the
+    empirically optimal k=13 baseline configuration (3.3-3.5 GB/s) sits
+    exactly at this budget.  Swapping in fp_rate's per-block-measured 5x
+    factor here would force k=15-16 and regress the measured optimum; the
+    corrected rate belongs to the PER-BLOCK slot budget
+    (stages_for_block), whose 16-slot sizing was calibrated against
+    measured per-block histograms."""
     if ft.exact:
         return 1
     k = 1
@@ -145,26 +176,18 @@ def stages_for_block(ft: FastTables, block_positions: int,
     so lam=3.5 keeps the observed max ~15 <= 16, and slot overflow — and
     so the mask-path retry — stays off the measured corpora).
 
-    Expected candidates use the TRUE prefix product of the built stages'
-    fills (derived stages run denser than stage 0) times the measured
-    correlation factor cf: the derived stages are all affine in the same
-    3 base fingerprints, so their joint pass rate is NOT the product of
-    the marginals — measured ~5x the independence estimate at p=10k /
-    16384-bit stages, k=13 (3.25 false cands per 16K block vs 0.6
-    estimated).  Overflow remains possible for adversarial pattern sets
-    (FastScanner adapts by adding stages after a retry) and for
-    dense-MATCH corpora (which fall back to the exact mask path).
+    Expected candidates use fp_rate (true stage fills x the measured
+    stage-correlation factor).  Overflow remains possible for adversarial
+    pattern sets (FastScanner adapts by adding stages after a retry) and
+    for dense-MATCH corpora (which fall back to the exact mask path).
     Returns len(ft.bitmaps) + 1 when even every built stage cannot meet
     the budget (callers then use the mask+compact path)."""
     if ft.exact:
         return 1
-    fills = ft.stage_fills or tuple(ft.density for _ in ft.bitmaps)
     k = 1
-    prod = fills[0]
-    while block_positions * prod * cf > lam:
+    while block_positions * fp_rate(ft, k, cf) > lam:
         if k >= len(ft.bitmaps):
             return len(ft.bitmaps) + 1
-        prod *= fills[k]
         k += 1
     return k
 
@@ -209,9 +232,10 @@ def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None)
             np.unpackbits(bm0.view(np.uint8)))) / stage_bits
 
     # build enough stages for the worst supported scan (n = 2^31 starts,
-    # candidate budget DEFAULT_CAP/4); stages_for picks the prefix to apply
-    need = math.log(max(DEFAULT_CAP / 4 / (1 << 31), 1e-12)) / math.log(density) \
-        if 0 < density < 1 else 1
+    # candidate budget DEFAULT_CAP/4, measured stage correlation STAGE_CF);
+    # stages_for picks the prefix to apply
+    need = (math.log(max(DEFAULT_CAP / 4 / (1 << 31) / STAGE_CF, 1e-12))
+            / math.log(density)) if 0 < density < 1 else 1
     k_build = int(min(len(STAGE_CD), max(3, math.ceil(need) + 1)))
     smask = stage_bits - 1
     bitmaps = []
@@ -225,8 +249,9 @@ def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None)
         bitmaps.append(jnp.asarray(bm_s))
 
     if n_stages is None:
-        k = 1
-        while density ** k * DEFAULT_TILE > DEFAULT_CAP / 4 and k < k_build:
+        k, prod = 1, stage_fills[0]
+        while prod * STAGE_CF * DEFAULT_TILE > DEFAULT_CAP / 4 and k < k_build:
+            prod *= stage_fills[min(k, len(stage_fills) - 1)]
             k += 1
         n_stages = k
     n_stages = min(n_stages, k_build)
@@ -697,7 +722,7 @@ class FastScanner:
             fast_count_core, ft=ft, tile=tile, cap=cap))
         self._jdevice = None           # lazy: count_async's jitted scan
         self._jdevice_pallas = None
-        self._jdevice_cap = None
+        self._jdevice_k_extra = None
         self._jdense = None            # lazy: _count_chunked's dense pass
         #: extra filter stages beyond the static budgets; bumped on async
         #: overflow (_async_retry), so a pattern set whose correlated-stage
@@ -722,6 +747,9 @@ class FastScanner:
             # fingerprint space, e.g. p=100k: the reference caps p at
             # texture-memory scale, main.c:372-373) — scan in (m-1)-halo
             # pieces sized to the budget, pipelined like count_file
+            # sized with stages_for's own (uncorrected) estimator: the 4x
+            # cap margin absorbs the measured ~2.4x total-level correlation,
+            # and per-piece overflow still retries/splits exactly
             piece = int(max((self.cap / 4) / max(ft.density ** k, 1e-12),
                             self.cap // 2))
             piece = min(piece, n)
@@ -802,15 +830,14 @@ class FastScanner:
                     jnp.int32(0))
         k = stages_for(ft, n, self.cap)
         kb = stages_for_block(ft, pf.FILTER_RB * 128)
-        cap = self.cap
         if kb > len(ft.bitmaps):
             # even all built stages cannot meet the per-block slot budget
             # (huge/saturating pattern sets) — use the mask+compact path
             mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
                                            n_stages=k,
                                            interpret=self.interpret)
-            idxs, o = compact_mask(mask2d, caprows=min(self.caprows, cap),
-                                   cap=cap, row_slots=self.row_slots)
+            idxs, o = compact_mask(mask2d, caprows=min(self.caprows, self.cap),
+                                   cap=self.cap, row_slots=self.row_slots)
             tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
                                       interpret=self.interpret)
             c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
@@ -826,19 +853,19 @@ class FastScanner:
                 text, ft.bitmaps[:k], m=ft.m, n=n, n_stages=k,
                 nw_min=words_len(n, ft.words), interpret=self.interpret)
             idxs, o, n_cand = compact_slots(slotmat, slots=pf.BLOCK_SLOTS,
-                                            cap=cap)
+                                            cap=self.cap)
             c = verify_chunked(tw, idxs, n_cand, ft, n_starts=n - ft.m + 1)
         return c, jnp.int32(o)
 
     def _ensure_jdevice(self):
         from tpu_smatcher.ops.pallas_filter import max_fast_m
         if (self._jdevice is None
-                or self._jdevice_cap != self._k_extra
+                or self._jdevice_k_extra != self._k_extra
                 or self._jdevice_pallas != (
                     self.backend == "pallas" and self.m <= max_fast_m())):
             self._jdevice_pallas = (self.backend == "pallas"
                                     and self.m <= max_fast_m())
-            self._jdevice_cap = self._k_extra
+            self._jdevice_k_extra = self._k_extra
             if self._jdevice_pallas:
                 self._jdevice = jax.jit(self._device_count)
             else:
@@ -847,17 +874,16 @@ class FastScanner:
 
     def _async_retry(self, text) -> int:
         """ScanFuture overflow fallback: count exactly via the synchronous
-        ladder, then add a filter stage so later scans of this scanner
-        filter harder instead of overflowing again (one retrace per bump;
-        chunked verify already makes the cap itself a non-issue below
-        `cap` candidates, so overflow means the pattern set's correlated
-        FPR genuinely exceeds the stage budget)."""
-        if not self.ft.exact:
-            # bounded: on dense-MATCH corpora extra stages cannot help
-            # (matches pass every stage) — the retry/chunked path owns
-            # those, so don't let k_extra climb without bound
+        ladder, then — if the overflow was FP-driven — add a filter stage
+        so later scans of this scanner filter harder instead of overflowing
+        again (one retrace per bump, bounded).  When the TRUE match count
+        alone crowds the cap (dense-MATCH corpora), extra stages cannot
+        help — matches pass every stage — so the bump is skipped and the
+        retry/chunked ladder keeps owning those corpora."""
+        c = self._count_retry(text)
+        if not self.ft.exact and c <= self.cap // 4:
             self._k_extra = min(self._k_extra + 1, 4)
-        return self._count_retry(text)
+        return c
 
     def count_async(self, text) -> ScanFuture:
         """Dispatch a scan and return immediately; the count stays on the
