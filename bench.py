@@ -50,7 +50,33 @@ def steady_rate(eng, tdev, n, reps):
     return n / best, best, c
 
 
+def _require_device(timeout_s: int):
+    """Fail fast (exit 1) if the accelerator is unreachable.
+
+    Over the axon tunnel a backend outage makes `jax.devices()` block
+    indefinitely (observed: >10 min during the 2026-08-17 outage) — a
+    hang here would stall the whole benchmark driver, so device discovery
+    runs on a daemon thread under a deadline."""
+    import threading
+    devs = []
+
+    def probe():
+        import jax
+        devs.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not devs:
+        log(f"FATAL: no JAX device within {timeout_s}s "
+            "(TPU backend unreachable?) — aborting instead of hanging")
+        os._exit(1)
+    return devs[0]
+
+
 def main():
+    devices = _require_device(int(os.environ.get("BENCH_DEVICE_TIMEOUT",
+                                                 "300")))
     import jax
     import jax.numpy as jnp
     from tpu_smatcher.core.alphabet import Alphabet
@@ -65,7 +91,7 @@ def main():
 
     ab = Alphabet.dna()
     log(f"bench: n={n} ({n/2**20:.0f} MiB) m={m}/{m_fp} p={p} "
-        f"devices={jax.devices()}")
+        f"devices={devices}")
     text = datagen.generate_text(n, ab, seed=7)
     tdev = jax.device_put(jnp.asarray(text))
     nn = 1 << 22                      # correctness-gate prefix (4 MiB)
