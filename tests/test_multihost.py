@@ -53,3 +53,23 @@ def test_distributed_count_from_file_shards(corpus):
     dc = DistributedCounter(eng.core, mesh, m=pats.m, sigma=pats.sigma)
     got = dc.count(arr)
     assert got == datagen.count_matches(text, pats)
+
+
+def test_distributed_count_from_file_shards_sigma256(tmp_path):
+    """Byte-alphabet file shards: 0-padded blocks, the true length threads
+    through count(n=) for the wrap correction."""
+    ab = Alphabet.of_size(256)
+    text = datagen.generate_text(50_003, ab, seed=61)    # non-divisible
+    m = 8
+    pats = datagen.generate_patterns(text, 40, m, ab, frac_present=0.6,
+                                     seed=62)
+    text = datagen.plant(text, pats.codes[0], [len(text) - m])
+    text = datagen.plant(text, np.zeros(m, np.uint8), [1000])  # zeros in-corpus
+    path = tmp_path / "bytes.bin"
+    text.tofile(path)
+    mesh = make_mesh(8)
+    arr, n = load_corpus_shards(str(path), mesh, sigma=256)
+    assert n == len(text)
+    eng = make_fast(pats, backend="xla", tile=1 << 12)
+    dc = DistributedCounter(eng.core, mesh, m=m, sigma=256)
+    assert dc.count(arr, n=n) == datagen.count_matches(text, pats)

@@ -73,3 +73,56 @@ def test_uneven_text_length():
     mesh = make_mesh(8)
     dc = make_distributed("wm", pats, mesh, tile=1 << 12)
     assert dc.count(text) == expected
+
+
+@pytest.mark.parametrize("engine,n", [("wm", 100_003), ("fast", 100_003),
+                                      ("ac", 80_000)])
+def test_sigma256_wrap_correction(engine, n):
+    """Byte alphabet: no out-of-alphabet pad exists — the cyclic-halo wrap
+    overcount must be subtracted exactly (dist._wrap_overcount), including
+    0-pad tails (uneven n) and matches at the very end of the corpus."""
+    sigma, m = 256, 8
+    text, pats = make_case(sigma, m, 32, n, seed=33)
+    # plant a match flush against the corpus end (reads no pad, but its
+    # window is the last valid start) and one one byte earlier
+    text = datagen.plant(text, pats.codes[0], [n - m, n - m - 3])
+    expected = datagen.count_matches(text, pats)
+    assert expected >= 1
+    mesh = make_mesh(8)
+    dc = make_distributed(engine, pats, mesh, tile=1 << 12)
+    assert dc.count(text) == expected
+
+
+def test_sigma256_wrap_false_positive_subtracted():
+    """A pattern that matches ONLY across the shard-0-wrap (tail ++ head)
+    or in the 0-pad must not be counted: plant the wrap string's content
+    as a pattern and check the subtraction removes it."""
+    sigma, m = 256, 8
+    ab = Alphabet.of_size(sigma)
+    n = 80_000                        # divisible by 8: pure wrap, no pad
+    text = datagen.generate_text(n, ab, seed=44)
+    # pattern = last 4 bytes ++ first 4 bytes (the wrapped window at
+    # global start n - 4): matches the cyclic view, not the corpus
+    wrap_pat = np.concatenate([text[-4:], text[:4]]).astype(np.uint8)
+    pats = PatternSet(wrap_pat[None, :], ab)
+    expected = datagen.count_matches(text, pats)
+    mesh = make_mesh(8)
+    dc = make_distributed("wm", pats, mesh, tile=1 << 12)
+    assert dc.count(text) == expected
+
+
+def test_sigma256_zero_pad_pattern_subtracted():
+    """All-zero patterns match inside the 0-pad tail; the wrap correction
+    must remove exactly those."""
+    sigma, m = 256, 8
+    ab = Alphabet.of_size(sigma)
+    n = 100_003                       # 8 devices -> 101 pad bytes of 0
+    text = datagen.generate_text(n, ab, seed=55)
+    zero_pat = np.zeros((1, m), np.uint8)
+    text = datagen.plant(text, zero_pat[0], [500, n - m])   # real zeros too
+    pats = PatternSet(zero_pat, ab)
+    expected = datagen.count_matches(text, pats)
+    assert expected >= 2
+    mesh = make_mesh(8)
+    dc = make_distributed("wm", pats, mesh, tile=1 << 12)
+    assert dc.count(text) == expected

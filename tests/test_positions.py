@@ -134,6 +134,27 @@ def test_distributed_positions_unbounded_dense():
     np.testing.assert_array_equal(got, np.arange(8_192 - 7, dtype=np.int64))
 
 
+def test_distributed_positions_sigma256_wrap():
+    """Byte alphabet: wrap/pad junk positions (global start >= n-m+1) are
+    filtered; true positions — including one at the last valid start —
+    survive."""
+    from tpu_smatcher.core.patterns import PatternSet
+    from tpu_smatcher.parallel import make_mesh
+    from tpu_smatcher.parallel.dist import DistributedPositions
+    mesh = make_mesh(4)
+    sigma, m, n = 256, 8, 4_003           # uneven: exercises the 0-pad too
+    ab = Alphabet.of_size(sigma)
+    text = datagen.generate_text(n, ab, seed=49)
+    pats = datagen.generate_patterns(text, 20, m, ab, frac_present=0.6,
+                                     seed=50)
+    text = datagen.plant(text, pats.codes[0], [n - m])
+    fast = make_fast(pats, backend="pallas", interpret=True)
+    dp = DistributedPositions(fast, mesh)
+    got = dp.positions(text)
+    np.testing.assert_array_equal(got, _positions_oracle(text, pats))
+    assert (n - m) in got
+
+
 def test_distributed_positions_chunked():
     from tpu_smatcher.parallel import make_mesh
     from tpu_smatcher.parallel.dist import DistributedPositions

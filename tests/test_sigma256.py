@@ -64,14 +64,18 @@ def test_single_device_counts_real_matches():
     assert make_fast(pats, backend="xla", tile=1 << 10).count(text) == truth
 
 
-def test_distribution_rejects_sigma256():
+def test_distribution_sigma256_wrap_mode():
+    """The byte alphabet distributes: shard_text 0-pads, the halo wraps
+    cyclically, and the count subtracts the exact wrap/pad overcount
+    (dist._wrap_overcount) — exact counts, no pad symbol needed."""
     text, pats = _case()
     mesh = make_mesh(4)
-    with pytest.raises(ValueError, match="255"):
-        shard_text(text, mesh, sigma=256)
+    sharded, n = shard_text(text, mesh, sigma=256)
+    assert n == len(text)
+    assert (np.asarray(sharded)[n:] == 0).all()
     eng = make_fast(pats, backend="xla")
-    with pytest.raises(ValueError, match="255"):
-        DistributedCounter(eng.core, mesh, m=8, sigma=256)
+    dc = DistributedCounter(eng.core, mesh, m=8, sigma=256)
+    assert dc.count(text) == datagen.count_matches(text, pats)
 
 
 def test_tiny_shard_raises_clearly():

@@ -16,6 +16,16 @@ main.c:654-661).  Here:
 Exactness: device i owns window starts [i*per, (i+1)*per); a window starting
 in shard i ends within shard i + its halo, and every start belongs to exactly
 one shard — the same partition argument as the reference's rank decomposition.
+
+Byte alphabet (sigma = 256): no out-of-alphabet uint8 pad exists, so the
+last shard's halo keeps the cyclic ppermute result (shard 0's head) and the
+divisibility pad is 0 — both in-alphabet, so the device psum OVERCOUNTS by
+exactly the matches among the invalid global starts [n-m+1, k*per).  Those
+windows read precisely the bytes of the tiny string
+W' = padded[n-m+1 : k*per] ++ padded[0 : m-1] (length pad + 2(m-1) <
+mesh size + 2m), so one single-device run of the same core over W' computes
+the overcount exactly and count() subtracts it — no pad symbol needed, no
+approximation (`_wrap_overcount`).
 """
 
 from __future__ import annotations
@@ -41,11 +51,9 @@ class DistributedCounter:
     """
 
     def __init__(self, core_fn, mesh, *, m: int, sigma: int, axis: str = DATA_AXIS):
-        if sigma >= 256:
-            raise ValueError(
-                "distributed scans need an out-of-alphabet uint8 pad symbol; "
-                "sigma must be <= 255")
         self.mesh = mesh
+        self._core_fn = core_fn
+        self._jcore = None            # lazy: wrap-correction jit (sigma=256)
         self.m = m
         self.sigma = sigma
         self.axis = axis
@@ -65,13 +73,22 @@ class DistributedCounter:
             local_count, mesh=mesh,
             in_specs=P(axis), out_specs=P(), check_vma=False))
 
-    def count(self, text) -> int:
-        """text: numpy array (host) or already-sharded device array."""
+    def count(self, text, *, n: int | None = None) -> int:
+        """text: numpy array (host) or already-sharded device array.
+
+        `n`: true corpus length of a pre-sharded PADDED array (e.g. from
+        multihost.load_corpus_shards) — only consulted in wrap mode
+        (sigma = 256), where the 0-pad is in-alphabet and the wrap
+        correction must know where the corpus ends; defaults to the full
+        array length.  sigma <= 255 pre-sharded arrays are sigma-padded,
+        which self-masks."""
         import numpy as np
         if isinstance(text, np.ndarray):
-            sharded, _ = shard_text(text, self.mesh, sigma=self.sigma, axis=self.axis)
+            sharded, n = shard_text(text, self.mesh, sigma=self.sigma,
+                                    axis=self.axis)
         else:
             sharded = text
+            n = int(sharded.shape[0]) if n is None else int(n)
         from tpu_smatcher.ops.common import check_count32
         check_count32(int(sharded.shape[0]))
         per = sharded.shape[0] // self.mesh.shape[self.axis]
@@ -80,23 +97,66 @@ class DistributedCounter:
                 f"shard size {per} < m-1 = {self.m - 1}: the one-hop halo "
                 "exchange cannot cover a window; use fewer devices or a "
                 "longer text")
+        if self.sigma >= 256 and n < self.m:
+            return 0
         co = np.asarray(self._fn(sharded))
         if co[1]:
             raise OverflowError(
                 "candidate cap exceeded on some shard; raise cap=/row_slots=")
-        return int(co[0])
+        c = int(co[0])
+        if self.sigma >= 256:
+            c -= self._wrap_overcount(sharded, n)
+        return c
+
+    def _wrap_overcount(self, sharded, n: int) -> int:
+        """Exact matches among the invalid global starts [n-m+1, N) in wrap
+        mode (sigma = 256): their windows read the bytes of
+        W' = padded[n-m+1 : N] ++ padded[0 : m-1] — tail starts on the last
+        device wrap into shard 0's head via the cyclic ppermute, earlier
+        invalid starts read the in-place 0-pad; both appear verbatim in W'.
+        W' has exactly N - (n-m+1) window starts, so one single-device run
+        of the same core over W' is the overcount, computed exactly.
+
+        Assumes a fully-addressable sharded array (single-process mesh):
+        the two tiny edge slices are fetched to the host.  Multi-process
+        byte-alphabet runs would need the edge bytes exchanged out of band
+        (each process can read its own file edges — multihost layout)."""
+        import numpy as np
+        N = int(sharded.shape[0])
+        m = self.m
+        lo = n - m + 1                                 # first invalid start
+        if lo >= N:
+            return 0                                   # m == 1, no pad
+        head = (np.asarray(sharded[:m - 1]) if m > 1
+                else np.empty((0,), np.uint8))
+        wrap = np.concatenate([np.asarray(sharded[lo:N]), head])
+        if self._jcore is None:
+            self._jcore = jax.jit(self._core_fn)
+        res = self._jcore(jnp.asarray(wrap, jnp.uint8))
+        co = res if isinstance(res, tuple) else (res, jnp.int32(0))
+        c, o = int(np.asarray(co[0])), int(np.asarray(co[1]))
+        if o:
+            raise OverflowError(
+                "candidate cap exceeded in the wrap-correction scan")
+        return c
 
 
 def exchange_halo(local, *, axis: str, k: int, halo: int, sigma: int):
     """Append the right neighbor's first `halo` bytes to this shard (one
-    cyclic ppermute over ICI); the last shard gets the out-of-alphabet pad."""
+    cyclic ppermute over ICI); the last shard gets the out-of-alphabet pad.
+
+    For sigma = 256 no such pad exists: the last shard keeps the cyclic
+    result (shard 0's head) and the caller subtracts the wrap overcount
+    exactly (DistributedCounter._wrap_overcount)."""
     if halo <= 0:
         return local
     edge = jax.lax.slice(local, (0,), (halo,))
     perm = [((i + 1) % k, i) for i in range(k)]
     recv = jax.lax.ppermute(edge, axis, perm)
-    idx = jax.lax.axis_index(axis)
-    recv = jnp.where(idx == k - 1, jnp.full((halo,), sigma, local.dtype), recv)
+    if sigma < 256:
+        idx = jax.lax.axis_index(axis)
+        recv = jnp.where(idx == k - 1,
+                         jnp.full((halo,), sigma, local.dtype), recv)
     return jnp.concatenate([local, recv])
 
 
@@ -119,8 +179,6 @@ class DistributedPositions:
 
     def __init__(self, fast, mesh, *, axis: str = DATA_AXIS):
         ft = fast.ft
-        if ft.sigma >= 256:
-            raise ValueError("distributed scans need sigma <= 255")
         # the mask pipeline is Pallas-only; off-TPU it must interpret
         self.interpret = bool(fast.interpret
                               or jax.default_backend() != "tpu")
@@ -183,13 +241,14 @@ class DistributedPositions:
         return fn
 
     def positions(self, text, *, chunk: int | None = None,
-                  depth: int = 4):
+                  depth: int = 4, n: int | None = None):
         import numpy as np
         if isinstance(text, np.ndarray):
-            sharded, _ = shard_text(text, self.mesh, sigma=self.sigma,
+            sharded, n = shard_text(text, self.mesh, sigma=self.sigma,
                                     axis=self.axis)
         else:
             sharded = text
+            n = int(sharded.shape[0]) if n is None else int(n)
         per = sharded.shape[0] // self.k
         min_chunk = max(self.fast.cap // 2, 1)
         work = []                        # (off, owned) in shard coordinates
@@ -219,6 +278,11 @@ class DistributedPositions:
                 continue
             pos = np.asarray(pos_d)
             pos = pos[pos >= 0]
+            if self.sigma >= 256:
+                # wrap mode: every pad/wrap-contaminated start is an invalid
+                # global start >= n - m + 1 — drop them here (the count path
+                # subtracts their count via _wrap_overcount instead)
+                pos = pos[pos < n - self.m + 1]
             if pos.size:
                 out.append(pos.astype(np.int64))
         if not out:

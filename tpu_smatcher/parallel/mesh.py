@@ -28,19 +28,19 @@ def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
 
 def shard_text(text: np.ndarray, mesh: Mesh, *, sigma: int,
                axis: str = DATA_AXIS):
-    """Place text sharded along the mesh axis, right-padded to divisibility
-    with the out-of-alphabet symbol (pad windows can never match).
+    """Place text sharded along the mesh axis, right-padded to divisibility.
+
+    For sigma <= 255 the pad is the out-of-alphabet symbol sigma (pad
+    windows can never match).  For the full byte alphabet (sigma = 256) no
+    out-of-alphabet uint8 value exists: the pad is 0 and the distributed
+    layer subtracts the exactly-computable overcount of the pad/wrap
+    region instead (parallel/dist.py wrap correction).
 
     Returns (sharded array, original length)."""
-    if sigma >= 256:
-        raise ValueError(
-            "distributed scans need an out-of-alphabet uint8 pad symbol; "
-            "sigma must be <= 255 (got 256: the byte alphabet's pad would "
-            "wrap to the real symbol 0)")
     k = mesh.shape[axis]
     n = len(text)
     per = -(-max(n, 1) // k)
-    padded = np.full(per * k, sigma, dtype=np.uint8)
+    padded = np.full(per * k, sigma if sigma < 256 else 0, dtype=np.uint8)
     padded[:n] = text
     sharding = NamedSharding(mesh, P(axis))
     return jax.device_put(padded, sharding), n

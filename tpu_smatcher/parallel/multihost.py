@@ -58,11 +58,10 @@ def load_corpus_shards(path: str, mesh: Mesh, *, sigma: int,
 
     The file must hold pre-encoded codes (bytes < sigma).  Shards are
     right-padded with the out-of-alphabet symbol `sigma` (pad windows can
-    never match).  Returns (global sharded array, corpus length)."""
-    if sigma >= 256:
-        raise ValueError(
-            "distributed scans need an out-of-alphabet uint8 pad symbol; "
-            "sigma must be <= 255")
+    never match); for the byte alphabet (sigma = 256) the pad is 0 and the
+    returned corpus length must be passed to DistributedCounter.count(n=...)
+    so its wrap correction knows where the corpus ends.
+    Returns (global sharded array, corpus length)."""
     file_n = os.path.getsize(path)
     if n is None:
         n = file_n
@@ -80,7 +79,7 @@ def load_corpus_shards(path: str, mesh: Mesh, *, sigma: int,
             continue
         start = i * per
         stop = min(n, (i + 1) * per)
-        block = np.full(per, sigma, dtype=np.uint8)
+        block = np.full(per, sigma if sigma < 256 else 0, dtype=np.uint8)
         if stop > start:
             block[:stop - start] = mm[start:stop]
         local.append(jax.device_put(block, d))
