@@ -83,6 +83,24 @@ def test_count_file_pipelined(exact_case):
         os.unlink(path)
 
 
+def test_engine_count_file(exact_case):
+    """Every engine streams files through the shared (m-1)-halo pipeline
+    (fastpath_count_file) — with and without an active fast path."""
+    text, pats, truth = exact_case
+    with tempfile.NamedTemporaryFile(delete=False) as fh:
+        fh.write(np.asarray(text).tobytes())
+        path = fh.name
+    try:
+        wm = make_engine("wm", pats, interpret=True, tile=1 << 12)
+        assert wm.count_file(path, chunk=13_000) == truth
+        ac = make_engine("ac", pats, fastpath=False)
+        assert ac.count_file(path, chunk=13_000) == truth
+        sog = make_engine("sog8", pats, fastpath=False, tile=1 << 12)
+        assert sog.count_file(path, chunk=13_000, depth=1) == truth
+    finally:
+        os.unlink(path)
+
+
 def test_async_retry_adds_filter_stages(fp_case):
     """An overflow retry must still return the exact count (via the sync
     ladder) and bump the scanner's extra-stage count — bounded — so an

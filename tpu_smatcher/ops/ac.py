@@ -181,6 +181,11 @@ class ACScanner:
         from tpu_smatcher.ops.common import fastpath_scan_many
         return fastpath_scan_many(self, texts)
 
+    def count_file(self, path: str, *, chunk: int = 1 << 28,
+                   depth: int = 3) -> int:
+        from tpu_smatcher.ops.common import fastpath_count_file
+        return fastpath_count_file(self, path, chunk=chunk, depth=depth)
+
     def core(self, ext: jnp.ndarray) -> jnp.ndarray:
         """Traceable per-shard count (for shard_map distribution)."""
         return ac_count_core(ext, self.dp, sig_p=self.sig_p, m=self.m,

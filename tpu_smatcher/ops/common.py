@@ -58,6 +58,31 @@ def fastpath_scan_many(scanner, texts):
             for f in [fastpath_count_async(scanner, t) for t in texts]]
 
 
+def fastpath_count_file(scanner, path: str, *, chunk: int = 1 << 28,
+                        depth: int = 3) -> int:
+    """Stream a pre-encoded corpus file through any engine without loading
+    it fully: piece i is scanned over [i*chunk, (i+1)*chunk + m - 1) so
+    every window start belongs to exactly one piece — the reference's
+    (m-1)-halo rank partition (main.c:463-477) applied to disk IO, same
+    scheme as FastScanner.count_file.  Up to `depth` pieces stay in flight
+    so disk reads, host->device copies and device scans overlap."""
+    import os
+    m = scanner.m
+    size = os.path.getsize(path)
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    total = 0
+    inflight = []
+    for start in range(0, max(size - m + 1, 1), chunk):
+        stop = min(size, start + chunk + m - 1)
+        inflight.append(fastpath_count_async(scanner,
+                                             np.asarray(mm[start:stop])))
+        if len(inflight) >= depth:
+            total += inflight.pop(0).result()
+    for f in inflight:
+        total += f.result()
+    return total
+
+
 def check_count32(n: int) -> None:
     """Counts are int32 end-to-end (per-lane accumulators, SMEM scalars,
     psum); a single scan over >= 2^31 window starts could wrap.  Callers

@@ -32,8 +32,9 @@ from tpu_smatcher.automata.wu import WMTables
 from tpu_smatcher.automata.sog import SOGTables, SOG_B
 from tpu_smatcher.automata.verify import VerifyTables
 from tpu_smatcher.ops.common import (active_fastpath, fastpath_count_async,
-                                     fastpath_positions, fastpath_scan_many,
-                                     pad_col, tiled_count, verify_starts)
+                                     fastpath_count_file, fastpath_positions,
+                                     fastpath_scan_many, pad_col, tiled_count,
+                                     verify_starts)
 
 DEFAULT_TILE = 1 << 20
 
@@ -219,6 +220,10 @@ class WMScanner:
     def scan_many(self, texts):
         return fastpath_scan_many(self, texts)
 
+    def count_file(self, path: str, *, chunk: int = 1 << 28,
+                   depth: int = 3) -> int:
+        return fastpath_count_file(self, path, chunk=chunk, depth=depth)
+
     def core(self, ext):
         return wm_count_core(ext, self.shift_ext, self.packed, self.bucket_ids,
                              sigma=self.sigma, m=self.m, lmax=self.lmax, tile=self.tile)
@@ -252,6 +257,10 @@ class SOGScanner:
     def scan_many(self, texts):
         return fastpath_scan_many(self, texts)
 
+    def count_file(self, path: str, *, chunk: int = 1 << 28,
+                   depth: int = 3) -> int:
+        return fastpath_count_file(self, path, chunk=chunk, depth=depth)
+
     def core(self, ext):
         return sog_count_core(ext, self.t_table, self.packed, self.bucket_ids,
                               sigma=self.sigma, m=self.m, lmax=self.lmax, tile=self.tile)
@@ -282,6 +291,10 @@ class SHScanner:
 
     def scan_many(self, texts):
         return fastpath_scan_many(self, texts)
+
+    def count_file(self, path: str, *, chunk: int = 1 << 28,
+                   depth: int = 3) -> int:
+        return fastpath_count_file(self, path, chunk=chunk, depth=depth)
 
     def core(self, ext):
         return sh_count_core(ext, self.trans, self.final,
@@ -316,6 +329,10 @@ class SBOMScanner:
 
     def scan_many(self, texts):
         return fastpath_scan_many(self, texts)
+
+    def count_file(self, path: str, *, chunk: int = 1 << 28,
+                   depth: int = 3) -> int:
+        return fastpath_count_file(self, path, chunk=chunk, depth=depth)
 
     def core(self, ext):
         return sbom_count_core(ext, self.trans, self.final_count, self.packed,
