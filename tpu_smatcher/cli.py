@@ -185,15 +185,18 @@ def run_engine(name, text, pats, args):
                               q=args.q if name == "ac" else 1)
     t_build = time.time() - t0
 
+    count_kw = {}
     if args.devices == 1:
         tdev = jax.device_put(jnp.asarray(text))
     else:
         # shard once before timing (re-sharding per rep would time the
-        # host->device transfer, not the scan)
+        # host->device transfer, not the scan); the true length rides along
+        # so the sigma=256 wrap correction knows where the corpus ends
         from tpu_smatcher.parallel.mesh import shard_text
-        tdev, _ = shard_text(text, scanner.mesh, sigma=pats.sigma)
+        tdev, n_true = shard_text(text, scanner.mesh, sigma=pats.sigma)
+        count_kw = {"n": n_true}
     t0 = time.time()
-    count = scanner.count(tdev)
+    count = scanner.count(tdev, **count_kw)
     t_first = time.time() - t0           # includes compile
     t_scan = t_scan_dev = t_first
     if args.reps > 1:
@@ -204,7 +207,7 @@ def run_engine(name, text, pats, args):
             times = []
             for _ in range(args.reps):
                 t0 = time.time()
-                count = scanner.count(tdev)
+                count = scanner.count(tdev, **count_kw)
                 times.append(time.time() - t0)
         t_scan = min(times)
         t_scan_dev = t_scan
@@ -231,7 +234,8 @@ def run_engine(name, text, pats, args):
                         "only (counts are identical across engines)")
                 from tpu_smatcher.parallel.dist import DistributedPositions
                 eng_fp = make_fast(pats, backend=args.backend)
-                pos = DistributedPositions(eng_fp, scanner.mesh).positions(tdev)
+                pos = DistributedPositions(eng_fp, scanner.mesh).positions(
+                    tdev, **count_kw)
             elif name == "fast":
                 pos = scanner.positions(tdev)
             else:
