@@ -75,6 +75,23 @@ def test_uneven_text_length():
     assert dc.count(text) == expected
 
 
+def test_distributed_count_async_pipelined():
+    """count_async/scan_many keep the psum pair on device until result();
+    batches equal per-text counts, including in sigma=256 wrap mode."""
+    text, pats = make_case(4, 8, 32, 100_000, seed=27)
+    expected = datagen.count_matches(text, pats)
+    mesh = make_mesh(8)
+    dc = make_distributed("wm", pats, mesh, tile=1 << 12)
+    assert dc.scan_many([text, text]) == [expected, expected]
+    f = dc.count_async(text)
+    assert f.result() == expected
+
+    text2, pats2 = make_case(256, 8, 16, 50_003, seed=28)
+    expected2 = datagen.count_matches(text2, pats2)
+    dc2 = make_distributed("wm", pats2, mesh, tile=1 << 12)
+    assert dc2.scan_many([text2]) == [expected2]
+
+
 @pytest.mark.parametrize("engine,n", [("wm", 100_003), ("fast", 100_003),
                                       ("ac", 80_000)])
 def test_sigma256_wrap_correction(engine, n):

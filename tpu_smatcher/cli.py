@@ -213,14 +213,14 @@ def run_engine(name, text, pats, args):
         t_scan_dev = t_scan
         # device (steady-state) rate: queue reps scans, fetch once — the
         # per-call rate above includes one host round-trip per scan
-        if args.devices == 1 and hasattr(scanner, "count_async"):
+        if hasattr(scanner, "count_async"):
             q = max(args.reps, 5)
             t0 = time.time()
-            fs = [scanner.count_async(tdev) for _ in range(q)]
+            fs = [scanner.count_async(tdev, **count_kw) for _ in range(q)]
             fs[-1].result()
             t_many = time.time() - t0
             t0 = time.time()
-            scanner.count_async(tdev).result()
+            scanner.count_async(tdev, **count_kw).result()
             t_one = time.time() - t0
             d = (t_many - t_one) / (q - 1)
             if d > 1e-5:

@@ -40,6 +40,32 @@ from jax import shard_map
 from tpu_smatcher.parallel.mesh import DATA_AXIS, make_mesh, shard_text
 
 
+class _DistFuture:
+    """In-flight distributed scan: the psum-ed [count, overflow] pair stays
+    on device until result(); overflow raises (distributed scans never
+    undercount silently); a wrap-mode correction callable (sigma = 256)
+    runs at fetch time."""
+
+    __slots__ = ("_co", "_corr")
+
+    def __init__(self, co_dev, corr):
+        self._co = co_dev
+        self._corr = corr
+
+    def result(self) -> int:
+        import numpy as np
+        if self._co is None:                 # degenerate: n < m
+            return 0
+        co = np.asarray(self._co)
+        if co[1]:
+            raise OverflowError(
+                "candidate cap exceeded on some shard; raise cap=/row_slots=")
+        c = int(co[0])
+        if self._corr is not None:
+            c -= self._corr()
+        return c
+
+
 class DistributedCounter:
     """Wrap a single-device traceable count core into a mesh-distributed one.
 
@@ -82,6 +108,14 @@ class DistributedCounter:
         correction must know where the corpus ends; defaults to the full
         array length.  sigma <= 255 pre-sharded arrays are sigma-padded,
         which self-masks."""
+        return self.count_async(text, n=n).result()
+
+    def count_async(self, text, *, n: int | None = None):
+        """Dispatch a mesh-wide scan and return immediately; the psum-ed
+        [count, overflow] pair stays on device until result().  Queue many
+        scans to amortize the host round-trip, like FastScanner.count_async.
+        (In wrap mode the sigma=256 overcount correction runs at result()
+        time — it is itself a host sync.)"""
         import numpy as np
         if isinstance(text, np.ndarray):
             sharded, n = shard_text(text, self.mesh, sigma=self.sigma,
@@ -98,15 +132,16 @@ class DistributedCounter:
                 "exchange cannot cover a window; use fewer devices or a "
                 "longer text")
         if self.sigma >= 256 and n < self.m:
-            return 0
-        co = np.asarray(self._fn(sharded))
-        if co[1]:
-            raise OverflowError(
-                "candidate cap exceeded on some shard; raise cap=/row_slots=")
-        c = int(co[0])
-        if self.sigma >= 256:
-            c -= self._wrap_overcount(sharded, n)
-        return c
+            return _DistFuture(None, None)
+        co_dev = self._fn(sharded)
+        corr = (functools.partial(self._wrap_overcount, sharded, n)
+                if self.sigma >= 256 else None)
+        return _DistFuture(co_dev, corr)
+
+    def scan_many(self, texts) -> list[int]:
+        """Pipelined batch counts over the mesh: all scans dispatch before
+        any result is fetched (mirrors FastScanner.scan_many)."""
+        return [f.result() for f in [self.count_async(t) for t in texts]]
 
     def _wrap_overcount(self, sharded, n: int) -> int:
         """Exact matches among the invalid global starts [n-m+1, N) in wrap
