@@ -58,18 +58,23 @@ def _require_device(timeout_s: int):
     hang here would stall the whole benchmark driver, so device discovery
     runs on a daemon thread under a deadline."""
     import threading
-    devs = []
+    devs, errs = [], []
 
     def probe():
-        import jax
-        devs.append(jax.devices())
+        try:
+            import jax
+            devs.append(jax.devices())
+        except Exception as e:               # report, don't claim "timeout"
+            errs.append(e)
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
     if not devs:
-        log(f"FATAL: no JAX device within {timeout_s}s "
-            "(TPU backend unreachable?) — aborting instead of hanging")
+        why = (f"device discovery raised {errs[0]!r}" if errs
+               else f"no JAX device within {timeout_s}s "
+                    "(TPU backend unreachable?)")
+        log(f"FATAL: {why} — aborting instead of hanging")
         os._exit(1)
     return devs[0]
 

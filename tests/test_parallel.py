@@ -128,6 +128,32 @@ def test_sigma256_wrap_false_positive_subtracted():
     assert dc.count(text) == expected
 
 
+def test_sigma256_explicit_n_on_numpy_input():
+    """An explicit n= must win over the array length for numpy inputs: a
+    host-side pre-padded byte corpus whose seam (text ++ 0-pad) spells a
+    pattern must not count it (regression: n= was silently overwritten)."""
+    sigma, m = 256, 8
+    ab = Alphabet.of_size(sigma)
+    n_true = 10_003
+    text = datagen.generate_text(n_true, ab, seed=66)
+    padded = np.zeros(10_008, np.uint8)
+    padded[:n_true] = text
+    seam_pat = np.concatenate([text[-3:], np.zeros(5, np.uint8)])
+    pats = PatternSet(seam_pat[None, :].astype(np.uint8), ab)
+    expected = datagen.count_matches(text, pats)        # over the TRUE text
+    mesh = make_mesh(8)
+    dc = make_distributed("wm", pats, mesh, tile=1 << 12)
+    assert dc.count(padded, n=n_true) == expected
+
+    from tpu_smatcher.engines import make_fast
+    from tpu_smatcher.parallel.dist import DistributedPositions
+    dp = DistributedPositions(make_fast(pats, backend="pallas",
+                                        interpret=True), mesh)
+    got = dp.positions(padded, n=n_true)
+    want = np.nonzero(datagen.match_starts(text, pats))[0]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sigma256_zero_pad_pattern_subtracted():
     """All-zero patterns match inside the 0-pad tail; the wrap correction
     must remove exactly those."""

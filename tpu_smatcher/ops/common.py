@@ -58,29 +58,37 @@ def fastpath_scan_many(scanner, texts):
             for f in [fastpath_count_async(scanner, t) for t in texts]]
 
 
-def fastpath_count_file(scanner, path: str, *, chunk: int = 1 << 28,
-                        depth: int = 3) -> int:
-    """Stream a pre-encoded corpus file through any engine without loading
-    it fully: piece i is scanned over [i*chunk, (i+1)*chunk + m - 1) so
-    every window start belongs to exactly one piece — the reference's
-    (m-1)-halo rank partition (main.c:463-477) applied to disk IO, same
-    scheme as FastScanner.count_file.  Up to `depth` pieces stay in flight
-    so disk reads, host->device copies and device scans overlap."""
+def stream_count_file(count_async, m: int, path: str, *,
+                      chunk: int = 1 << 28, depth: int = 3) -> int:
+    """Stream a pre-encoded corpus file through `count_async` without
+    loading it fully: piece i is scanned over [i*chunk, (i+1)*chunk + m - 1)
+    so every window start belongs to exactly one piece — the reference's
+    (m-1)-halo rank partition (main.c:463-477) applied to disk IO.  Up to
+    `depth` pieces stay in flight so disk reads, host->device copies and
+    device scans overlap.  The single implementation behind
+    FastScanner.count_file and every engine's count_file."""
     import os
-    m = scanner.m
     size = os.path.getsize(path)
     mm = np.memmap(path, dtype=np.uint8, mode="r")
     total = 0
     inflight = []
     for start in range(0, max(size - m + 1, 1), chunk):
         stop = min(size, start + chunk + m - 1)
-        inflight.append(fastpath_count_async(scanner,
-                                             np.asarray(mm[start:stop])))
+        inflight.append(count_async(np.asarray(mm[start:stop])))
         if len(inflight) >= depth:
             total += inflight.pop(0).result()
     for f in inflight:
         total += f.result()
     return total
+
+
+def fastpath_count_file(scanner, path: str, *, chunk: int = 1 << 28,
+                        depth: int = 3) -> int:
+    """stream_count_file through the engine's fast path (or the synchronous
+    fallback when no fast path is active)."""
+    return stream_count_file(
+        functools.partial(fastpath_count_async, scanner), scanner.m, path,
+        chunk=chunk, depth=depth)
 
 
 def check_count32(n: int) -> None:

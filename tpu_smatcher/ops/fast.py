@@ -975,31 +975,13 @@ class FastScanner:
     def count_file(self, path: str, *, chunk: int = 1 << 28,
                    depth: int = 3) -> int:
         """Stream a pre-encoded corpus file through the scanner in `chunk`
-        byte pieces without loading it fully: piece i is scanned over
-        [i*chunk, (i+1)*chunk + m - 1) so every window start belongs to
-        exactly one piece (the same (m-1)-halo partition the reference uses
-        across MPI ranks, main.c:463-477, applied to disk IO).
-
-        Pipelined: up to `depth` pieces are in flight, so disk reads, the
-        host->device copies, and the device scans overlap; every interior
-        piece has identical shape and reuses one compiled program."""
-        import os
-        size = os.path.getsize(path)
-        mm = np.memmap(path, dtype=np.uint8, mode="r")
-        total = 0
-        inflight: list[ScanFuture] = []
-        for start in range(0, max(size - self.m + 1, 1), chunk):
-            stop = min(size, start + chunk + self.m - 1)
-            piece = np.asarray(mm[start:stop])
-            # an interior piece has length chunk + m - 1, so its window
-            # starts [0, chunk) are exactly the owned ones; the final piece
-            # ends at EOF and owns its remaining starts
-            inflight.append(self.count_async(piece))
-            if len(inflight) >= depth:
-                total += inflight.pop(0).result()
-        for f in inflight:
-            total += f.result()
-        return total
+        byte pieces without loading it fully ((m-1)-halo pieces, up to
+        `depth` in flight so disk reads, host->device copies and device
+        scans overlap; every interior piece has identical shape and reuses
+        one compiled program) — see common.stream_count_file."""
+        from tpu_smatcher.ops.common import stream_count_file
+        return stream_count_file(self.count_async, self.m, path,
+                                 chunk=chunk, depth=depth)
 
     def _positions_piece(self, piece):
         """Traceable (idxs (cap,) int32 with -1 padding, overflow) for ALL

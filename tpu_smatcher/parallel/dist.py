@@ -118,8 +118,11 @@ class DistributedCounter:
         time — it is itself a host sync.)"""
         import numpy as np
         if isinstance(text, np.ndarray):
-            sharded, n = shard_text(text, self.mesh, sigma=self.sigma,
-                                    axis=self.axis)
+            sharded, n_text = shard_text(text, self.mesh, sigma=self.sigma,
+                                         axis=self.axis)
+            # an explicit n= wins: the numpy array may itself carry host-side
+            # padding (e.g. a pre-padded byte-alphabet corpus)
+            n = n_text if n is None else int(n)
         else:
             sharded = text
             n = int(sharded.shape[0]) if n is None else int(n)
@@ -131,8 +134,15 @@ class DistributedCounter:
                 f"shard size {per} < m-1 = {self.m - 1}: the one-hop halo "
                 "exchange cannot cover a window; use fewer devices or a "
                 "longer text")
-        if self.sigma >= 256 and n < self.m:
-            return _DistFuture(None, None)
+        if self.sigma >= 256:
+            if n < self.m:
+                return _DistFuture(None, None)
+            if not sharded.is_fully_addressable:
+                raise ValueError(
+                    "sigma=256 wrap correction needs a fully-addressable "
+                    "array (single-process mesh): the corpus edge bytes are "
+                    "fetched to the host.  Multi-process byte-alphabet runs "
+                    "must exchange the edges out of band.")
         co_dev = self._fn(sharded)
         corr = (functools.partial(self._wrap_overcount, sharded, n)
                 if self.sigma >= 256 else None)
@@ -279,8 +289,9 @@ class DistributedPositions:
                   depth: int = 4, n: int | None = None):
         import numpy as np
         if isinstance(text, np.ndarray):
-            sharded, n = shard_text(text, self.mesh, sigma=self.sigma,
-                                    axis=self.axis)
+            sharded, n_text = shard_text(text, self.mesh, sigma=self.sigma,
+                                         axis=self.axis)
+            n = n_text if n is None else int(n)   # explicit n= wins
         else:
             sharded = text
             n = int(sharded.shape[0]) if n is None else int(n)
