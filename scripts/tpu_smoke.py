@@ -97,6 +97,18 @@ def main():
     check("positions unbounded [1M dense matches]", int(pos.size),
           (1 << 20) - 7)
 
+    # byte-alphabet distribution (cyclic-wrap halo + overcount subtraction)
+    # and the mesh pipelined API
+    ab256 = Alphabet.of_size(256)
+    btext = datagen.generate_text((1 << 21) + 3, ab256, seed=15)
+    bpats = datagen.generate_patterns(btext, 100, 8, ab256, frac_present=0.6,
+                                      seed=16)
+    btruth = datagen.count_matches(btext, bpats)
+    bdc = make_distributed("fast", bpats, make_mesh())
+    check("distributed sigma=256 wrap", bdc.count(btext), btruth)
+    check("distributed scan_many", bdc.scan_many([btext, btext]),
+          [btruth, btruth])
+
     print("ALL PASS" if not failures else f"FAILURES: {failures}", flush=True)
     sys.exit(1 if failures else 0)
 
