@@ -29,6 +29,26 @@ def test_budget_shortfall_chunks_and_counts_exactly():
     assert eng.count(text) == truth
 
 
+def test_saturated_filter_terminates():
+    """When the filter SATURATES (density**k > 0.5), budget pieces pin at
+    cap//2 and each piece still exceeds the candidate budget — the piece
+    path must finish via the dense pass / _count_chunked, not recurse
+    (regression: count() died with RecursionError because each piece's
+    overflow retry re-entered the identical piece path forever)."""
+    ab = Alphabet.of_size(4)
+    text = datagen.generate_text(20_000, ab, seed=25)
+    pats = datagen.generate_patterns(text, 3_000, 12, ab, frac_present=0.3,
+                                     seed=26)
+    truth = datagen.count_matches(text, pats)
+    eng = make_fast(pats, backend="pallas", interpret=True, cap=4096)
+    # force saturation: keep only one stage and pin its density near 1
+    eng.ft = dataclasses.replace(eng.ft, bitmaps=eng.ft.bitmaps[:1],
+                                 density=0.95)
+    eng._jdevice = None
+    assert eng.count(text) == truth
+    assert eng.count_async(jnp.asarray(text, jnp.uint8)).result() == truth
+
+
 def test_p100k_exact_tier():
     """p=100k at m=8 DNA stays on the exact tier (p-independent)."""
     ab = Alphabet.dna()

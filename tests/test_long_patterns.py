@@ -43,3 +43,15 @@ def test_beyond_max_falls_back():
     truth = datagen.count_matches(text, pats)
     eng = make_fast(pats, backend="pallas", interpret=True)
     assert eng.count(text) == truth            # transparently XLA
+
+    # the distribution core must take the same fallback (regression: it
+    # raised ValueError from overlap_rows instead)
+    import jax
+    import jax.numpy as jnp
+    c, o = jax.jit(eng.core)(jnp.asarray(text, jnp.uint8))
+    assert (int(c), int(o)) == (truth, 0)
+
+    from tpu_smatcher.parallel import make_mesh
+    from tpu_smatcher.parallel.dist import DistributedCounter
+    dc = DistributedCounter(eng.core, make_mesh(4), m=m, sigma=pats.sigma)
+    assert dc.count(text) == truth

@@ -395,10 +395,12 @@ def nonzero_scatter(mask, size: int, fill: int):
     m32 = mask.astype(jnp.int32)
     cum = jnp.cumsum(m32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
-    # dropped indices are made DISTINCT (size + iota) so unique_indices=True
-    # is honest — with a shared out-of-bounds index the mode="drop" result is
-    # only implementation-defined
-    pos = jnp.where(m32 > 0, cum - 1, size + iota)
+    # dropped indices are made DISTINCT (size + n + iota) so
+    # unique_indices=True is honest even when MORE than `size` elements are
+    # set (overflowing set elements land in [size, size + n), disjoint from
+    # the dropped band [size + n, size + 2n)) — with duplicate indices the
+    # mode="drop" result would be implementation-defined
+    pos = jnp.where(m32 > 0, cum - 1, size + n + iota)
     out = jnp.full((size,), fill, jnp.int32)
     return out.at[pos].set(iota, mode="drop", unique_indices=True)
 
@@ -746,20 +748,39 @@ class FastScanner:
             # text length (very large pattern sets saturate the 16-bit
             # fingerprint space, e.g. p=100k: the reference caps p at
             # texture-memory scale, main.c:372-373) — scan in (m-1)-halo
-            # pieces sized to the budget, pipelined like count_file
-            # sized with stages_for's own (uncorrected) estimator: the 4x
-            # cap margin absorbs the measured ~2.4x total-level correlation,
-            # and per-piece overflow still retries/splits exactly
+            # pieces sized to the budget, pipelined like count_file.
+            # Sized with stages_for's own (uncorrected) estimator: the 4x
+            # cap margin absorbs the measured ~2.4x total-level correlation.
+            # Pieces run the DENSE device pass (full cap, 128 row slots):
+            # a cap//2-start piece then cannot overflow at all, and a rare
+            # budget-piece overflow is finished exactly by _count_chunked
+            # — never by re-entering this path, whose piece size is a pure
+            # function of (cap, density) and would recurse forever when the
+            # filter saturates (density**k > 0.5 pins piece at cap//2)
             piece = int(max((self.cap / 4) / max(ft.density ** k, 1e-12),
                             self.cap // 2))
             piece = min(piece, n)
-            futs = [self.count_async(
-                jax.lax.slice(text, (s,),
-                              (min(s + piece + ft.m - 1, n),)))
-                    for s in range(0, n - ft.m + 1, piece)]
+            if self._jdense is None:
+                self._jdense = jax.jit(self._device_count_dense)
             total = 0
-            for f in futs:
-                total += f.result()       # per-piece overflow retries/raises
+            inflight = []
+
+            def drain(item):
+                pt, co_d = item
+                co = np.asarray(co_d)
+                if co[1]:
+                    return self._count_chunked(pt)   # terminating splitter
+                return int(co[0])
+
+            for s in range(0, n - ft.m + 1, piece):
+                pt = jax.lax.slice(text, (s,), (min(s + piece + ft.m - 1, n),))
+                c_d, o_d = self._jdense(pt)
+                inflight.append((pt, jnp.stack([jnp.int32(c_d),
+                                                jnp.int32(o_d)])))
+                if len(inflight) >= 3:
+                    total += drain(inflight.pop(0))
+            for item in inflight:
+                total += drain(item)
             return total, False
         return self._count_pallas_whole(text, k)
 
@@ -1035,8 +1056,10 @@ class FastScanner:
         host with no global cap.  chunk= presizes the pieces (in window
         starts) when the density is known; otherwise the first overflow
         picks a chunk from the measured global match count."""
+        from tpu_smatcher.ops.common import check_count32
         text = jnp.asarray(text, jnp.uint8)
         n = int(text.shape[0])
+        check_count32(n)      # positions ride int32 until the host append
         ft = self.ft
         m = ft.m
         if n < m:
@@ -1098,8 +1121,11 @@ class FastScanner:
     def core(self, ext):
         """Traceable per-shard (count, overflow) for distribution: the
         overflow flag rides the psum so distributed scans raise instead of
-        silently undercounting (parallel/dist.py)."""
-        if self.backend == "pallas":
+        silently undercounting (parallel/dist.py).  Patterns beyond the
+        overlapped-row layout (m > 513) fall back to the tiled XLA core,
+        mirroring count_with_overflow."""
+        from tpu_smatcher.ops.pallas_filter import max_fast_m
+        if self.backend == "pallas" and self.m <= max_fast_m():
             return self._core_pallas(ext)
         return fast_count_core(ext, self.ft, tile=self.tile, cap=self.cap,
                                guard=True)

@@ -393,9 +393,11 @@ class EngineFastPath:
         """Sorted start positions of all matching windows (cap-bounded; for
         unbounded streaming enumeration use FastScanner.positions — the
         match set is identical across engines)."""
+        from tpu_smatcher.ops.common import check_count32
         from tpu_smatcher.ops.fast import verify_matched_at
         text = jnp.asarray(text, jnp.uint8)
         n = int(text.shape[0])
+        check_count32(n)      # positions ride int32 on device
         ft = self.ft
         if n < self.m:
             return np.empty((0,), np.int64)

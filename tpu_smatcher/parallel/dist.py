@@ -295,6 +295,8 @@ class DistributedPositions:
         else:
             sharded = text
             n = int(sharded.shape[0]) if n is None else int(n)
+        from tpu_smatcher.ops.common import check_count32
+        check_count32(int(sharded.shape[0]))   # positions ride int32
         per = sharded.shape[0] // self.k
         min_chunk = max(self.fast.cap // 2, 1)
         work = []                        # (off, owned) in shard coordinates
