@@ -797,6 +797,29 @@ class FastScanner:
                                     row_slots=self.row_slots,
                                     n_starts=n - ft.m + 1)
 
+    def _mask_verify(self, piece, k, *, caprows, row_slots, matched=False):
+        """The shared mask-path pipeline (traceable): Pallas filter mask ->
+        hierarchical compaction -> word view -> exact verification.  One
+        implementation behind the saturating-set device pass, the dense
+        pass, the distribution core and the positions pieces.
+
+        matched=False -> (count, overflow); matched=True -> (idxs,
+        per-candidate match mask, overflow)."""
+        from tpu_smatcher.ops import pallas_filter as pf
+        ft = self.ft
+        n = piece.shape[0]
+        mask2d = pf.filter_mask_pallas(piece, ft.bitmaps[:k], m=ft.m, n=n,
+                                       n_stages=k, interpret=self.interpret)
+        idxs, o = compact_mask(mask2d, caprows=min(caprows, mask2d.shape[0]),
+                               cap=self.cap, row_slots=row_slots)
+        tw = pf.words_view_pallas(piece, nw=words_len(n, ft.words),
+                                  interpret=self.interpret)
+        verify = verify_matched_at if matched else verify_at
+        r = verify(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                   m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
+                   n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+        return (idxs, r, o) if matched else (r, o)
+
     def count_with_overflow(self, text) -> tuple[int, bool]:
         from tpu_smatcher.ops.common import check_count32
         text = jnp.asarray(text, jnp.uint8)
@@ -854,16 +877,9 @@ class FastScanner:
         if kb > len(ft.bitmaps):
             # even all built stages cannot meet the per-block slot budget
             # (huge/saturating pattern sets) — use the mask+compact path
-            mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
-                                           n_stages=k,
-                                           interpret=self.interpret)
-            idxs, o = compact_mask(mask2d, caprows=min(self.caprows, self.cap),
-                                   cap=self.cap, row_slots=self.row_slots)
-            tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
-                                      interpret=self.interpret)
-            c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
-                          m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
-                          n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+            c, o = self._mask_verify(text, k,
+                                     caprows=min(self.caprows, self.cap),
+                                     row_slots=self.row_slots)
         else:
             # fused in-kernel compaction + word view: the filter kernel
             # itself emits BLOCK_SLOTS candidate positions per block and
@@ -933,15 +949,7 @@ class FastScanner:
                                           interpret=self.interpret),
                     jnp.int32(0))
         k = stages_for(ft, n, self.cap)
-        mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
-                                       n_stages=k, interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=min(self.cap, mask2d.shape[0]),
-                               cap=self.cap, row_slots=128)
-        tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
-                                  interpret=self.interpret)
-        c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
-                      m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
-                      n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+        c, o = self._mask_verify(text, k, caprows=self.cap, row_slots=128)
         return c, jnp.int32(o)
 
     def _count_chunked(self, text, *, depth: int = 4) -> int:
@@ -1030,16 +1038,8 @@ class FastScanner:
                                    cap=cap, row_slots=128)
             return idxs, o
         k = stages_for(ft, n, cap)
-        mask2d = pf.filter_mask_pallas(piece, ft.bitmaps[:k], m=ft.m, n=n,
-                                       n_stages=k, interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=min(cap, mask2d.shape[0]),
-                               cap=cap, row_slots=128)
-        tw = pf.words_view_pallas(piece, nw=words_len(n, ft.words),
-                                  interpret=self.interpret)
-        matched = verify_matched_at(
-            tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2, m=ft.m,
-            words=ft.words, lmax=ft.lmax, eb=ft.eb, n_starts=n - ft.m + 1,
-            slot_ok=ft.slot_ok)
+        idxs, matched, o = self._mask_verify(piece, k, caprows=cap,
+                                             row_slots=128, matched=True)
         return jnp.where(matched, idxs, -1), o
 
     def positions(self, text, *, chunk: int | None = None,
@@ -1155,14 +1155,6 @@ class FastScanner:
                                             cap=self.cap)
             c = verify_chunked(tw, idxs, n_cand, ft, n_starts=n - ft.m + 1)
         else:
-            mask2d = pf.filter_mask_pallas(ext, ft.bitmaps[:k], m=ft.m, n=n,
-                                           n_stages=k,
-                                           interpret=self.interpret)
-            idxs, o = compact_mask(mask2d, caprows=self.caprows,
-                                   cap=self.cap, row_slots=self.row_slots)
-            tw = pf.words_view_pallas(ext, nw=words_len(n, ft.words),
-                                      interpret=self.interpret)
-            c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
-                          m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
-                          n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+            c, o = self._mask_verify(ext, k, caprows=self.caprows,
+                                     row_slots=self.row_slots)
         return c, jnp.int32(o)

@@ -65,7 +65,8 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def overlap_rows(text: jnp.ndarray, n: int, m: int, rb: int = DEFAULT_RB) -> tuple[jnp.ndarray, int]:
+def overlap_rows(text: jnp.ndarray, n: int, m: int, rb: int = DEFAULT_RB,
+                 min_rows: int = 0) -> tuple[jnp.ndarray, int]:
     """(R, row_bytes_for(m)) uint8 overlapped layout; R padded to a multiple
     of rb.
 
@@ -73,12 +74,15 @@ def overlap_rows(text: jnp.ndarray, n: int, m: int, rb: int = DEFAULT_RB) -> tup
     window starting there without crossing rows — the halo is h = ceil(
     (m-1)/128) extra 128-byte views, each a 128-shifted reshape of the same
     text (the smem tile + (m-1) halo of cuda/cuda_wm.cu:93-130, at VMEM
-    scale).  Returns (rows, n_starts)."""
+    scale).  min_rows extends the grid with zero rows (no valid starts in
+    them — n_starts masks them) for callers whose fused outputs must cover
+    more than the starts, e.g. the verify word view's gather margin.
+    Returns (rows, n_starts)."""
     if m > MAX_FAST_M:
         raise ValueError(f"overlap_rows supports m <= {MAX_FAST_M}")
     h = cdiv(max(m - 1, 1), LANES)
     n_starts = max(0, n - m + 1)
-    R = max(1, -(-n_starts // LANES))
+    R = max(1, -(-n_starts // LANES), min_rows)
     R = -(-R // rb) * rb
     flat_len = R * LANES + h * LANES        # main + h halo row-views
     padded = jnp.zeros((flat_len,), jnp.uint8).at[:n].set(text[:n])
@@ -419,18 +423,11 @@ def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
     words of the text's owned bytes (zero-padded), covering at least
     nw_min words (pass fast.words_len(n, words)); the grid is extended
     with zero blocks when the verify margin demands it."""
-    tile, n_starts = overlap_rows(text, n, m, rb)
-    if nw_min and tile.shape[0] * (LANES // 4) < nw_min:
-        # every grid block emits rb*32 words of its owned bytes; extend the
-        # grid with zero rows so the word view covers the verify gather
-        # margin (extra rows hold no valid starts — n_starts masks them)
-        h = cdiv(max(m - 1, 1), LANES)
-        R2 = cdiv(cdiv(nw_min, LANES // 4), rb) * rb
-        flat_len = R2 * LANES + h * LANES
-        padded = jnp.zeros((flat_len,), jnp.uint8).at[:n].set(text[:n])
-        views = [padded[j * LANES: R2 * LANES + j * LANES].reshape(R2, LANES)
-                 for j in range(1 + h)]
-        tile = jnp.concatenate(views, axis=1)
+    # every grid block emits rb*32 words of its owned bytes; min_rows
+    # extends the grid with zero rows so the fused word view covers the
+    # verify gather margin
+    tile, n_starts = overlap_rows(text, n, m, rb,
+                                  min_rows=cdiv(nw_min, LANES // 4))
     R = tile.shape[0]
     weights = tuple(part for i in range(n_base_fps(n_stages))
                     for part in fp_weights(FP_MULTS[i], m))
