@@ -64,6 +64,36 @@ def test_single_device_pallas_count_no_pad_alias():
     assert fast.positions(text).size == 0
 
 
+def test_engine_positions_guard_out_of_alphabet_text():
+    """Single-device EXACT-tier positions on text containing an
+    out-of-alphabet byte: the aliased window must not be reported, and the
+    engine fast path must agree with FastScanner.positions (regression:
+    EngineFastPath.positions built its mask unguarded)."""
+    text, pats = _aliasing_case()
+    text = text.copy()
+    text[15] = 4                        # window [8:16] = [0]*7+[4]: aliases
+    fast = make_fast(pats, backend="pallas", interpret=True)
+    eng = make_engine("ac", pats, interpret=True)
+    np.testing.assert_array_equal(fast.positions(text), eng.positions(text))
+    assert eng.positions(text).size == 0
+
+
+def test_engine_fastpath_count_total_on_dense_matches():
+    """EngineFastPath.count/scan_many stay TOTAL when matches alone exceed
+    every cap trial (regression: raised OverflowError instead of finishing
+    via budget pieces)."""
+    ab = Alphabet.of_size(20)
+    m = 12                              # fp tier (20^12 >> 2^16)
+    text = np.zeros(2_600, np.uint8)    # every start matches
+    pats = PatternSet(np.zeros((1, m), np.uint8), ab)
+    truth = len(text) - m + 1
+    eng = make_engine("wm", pats, interpret=True)
+    fp = eng.fast_path
+    fp.cap = 1024                       # far below the 2,589 matches
+    assert fp.count(text) == truth
+    assert fp.scan_many([text]) == [truth]
+
+
 def test_exact_still_counts_real_matches_with_guard():
     ab = Alphabet.dna()
     text = datagen.generate_text(30_000, ab, seed=81)

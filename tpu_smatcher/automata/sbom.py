@@ -85,9 +85,5 @@ def build_sbom(patterns: np.ndarray, sigma: int, native: bool | str = "auto") ->
     for s, edges in enumerate(goto):
         for c, t in edges.items():
             transition[s, c] = t
-    final_count = np.asarray([len(f) for f in F], dtype=np.int32)
-    fmax = max(1, int(final_count.max(initial=0)))
-    final_ids = np.full((S, fmax), -1, dtype=np.int32)
-    for s, f in enumerate(F):
-        final_ids[s, :len(f)] = f
-    return SBOMTables(transition, final_count, final_ids, S, sigma, m)
+    return _finalize(transition, {s: f for s, f in enumerate(F) if f},
+                     S, sigma, m)

@@ -148,6 +148,13 @@ class ACScanner:
             self.cbits = 0
         else:
             tq, cbits = multi_step_tables(ac, q)
+            if tq.dtype == np.int64 and not jax.config.jax_enable_x64:
+                # jnp.asarray would silently truncate the packed
+                # next-state|count fields to int32, corrupting the scan
+                raise ValueError(
+                    f"q={q} composed AC table needs int64 entries for this "
+                    "pattern set (packed next|count exceeds int32); use a "
+                    "smaller q or enable jax_enable_x64")
             self.tq = jnp.asarray(tq.reshape(-1))
             self.cbits = cbits
             self.dp = jnp.asarray(ac.delta_packed.reshape(-1))
@@ -160,8 +167,10 @@ class ACScanner:
                 return fp.count(text)
             except OverflowError:
                 pass          # dense candidates: the capless jnp scan below
+        from tpu_smatcher.ops.common import check_count32
         text = jnp.asarray(text, jnp.uint8)
         n = int(text.shape[0])
+        check_count32(n)      # int32 accumulators (CLAUDE.md invariant)
         if self.q == 1:
             return int(ac_count(text, self.dp, sig_p=self.sig_p, m=self.m,
                                 lanes=self.lanes, n=n))

@@ -57,7 +57,8 @@ def wm_count_core(text, shift_ext, packed, bucket_ids_flat, *, sigma, m, lmax, t
     n = text.shape[0]
     if n < m:
         return jnp.int32(0)
-    b = 1 << 2  # reference 2-bit block hash (wu/wu.c:64-67)
+    from tpu_smatcher.oracles.reference import WM_BITS_IN_SHIFT
+    b = 1 << WM_BITS_IN_SHIFT  # reference 2-bit block hash (wu/wu.c:64-67)
 
     def per_tile(chunk, limit):
         c0 = _slice(chunk, m - 3, tile).astype(jnp.int32)
@@ -188,120 +189,95 @@ def sbom_count(text, trans_flat, final_count, packed, bucket_ids_flat, *,
 # Device-resident engine wrappers
 # ---------------------------------------------------------------------------
 
-class WMScanner:
+class _FilterScanner:
+    """Shared device-resident wrapper: uniform fast-path surface (count /
+    positions / count_async / scan_many / count_file) over a subclass's
+    capless jnp scan (_count_jnp) — one copy of the overflow-fallback and
+    pipelining glue for WM/SOG/SH/SBOM."""
+
+    def count(self, text) -> int:
+        fp = active_fastpath(self)
+        if fp is not None:
+            try:
+                return fp.count(text)
+            except OverflowError:
+                pass          # dense candidates: the capless jnp scan below
+        from tpu_smatcher.ops.common import check_count32
+        text = jnp.asarray(text, jnp.uint8)
+        n = int(text.shape[0])
+        check_count32(n)      # int32 accumulators (CLAUDE.md invariant)
+        return int(self._count_jnp(text, n))
+
+    def positions(self, text):
+        return fastpath_positions(self, text)
+
+    def count_async(self, text):
+        return fastpath_count_async(self, text)
+
+    def scan_many(self, texts):
+        return fastpath_scan_many(self, texts)
+
+    def count_file(self, path: str, *, chunk: int = 1 << 28,
+                   depth: int = 3) -> int:
+        return fastpath_count_file(self, path, chunk=chunk, depth=depth)
+
+
+class WMScanner(_FilterScanner):
     def __init__(self, wm: WMTables, vt: VerifyTables, *, tile: int = DEFAULT_TILE):
         self.m, self.sigma, self.tile, self.lmax = wm.m, wm.sigma, tile, vt.lmax
         # extend SHIFT to cover hashes containing the pad char (value sigma)
-        ext_size = ((wm.sigma << 2) + wm.sigma << 2) + wm.sigma + 1
+        from tpu_smatcher.automata.wu import hash3_np
+        ext_size = int(hash3_np(np.int32(wm.sigma), np.int32(wm.sigma),
+                                np.int32(wm.sigma))) + 1
         shift_ext = np.full(ext_size, wm.m - 3 + 1, np.int32)
         shift_ext[:wm.shiftsize] = wm.shift
         self.shift_ext = jnp.asarray(shift_ext)
         self.packed = jnp.asarray(vt.packed)
         self.bucket_ids = jnp.asarray(vt.bucket_ids.reshape(-1))
 
-    def count(self, text) -> int:
-        fp = active_fastpath(self)
-        if fp is not None:
-            try:
-                return fp.count(text)
-            except OverflowError:
-                pass          # dense candidates: the capless jnp scan below
-        text = jnp.asarray(text, jnp.uint8)
-        return int(wm_count(text, self.shift_ext, self.packed, self.bucket_ids,
-                            sigma=self.sigma, m=self.m, lmax=self.lmax,
-                            tile=self.tile, n=int(text.shape[0])))
-
-    def positions(self, text):
-        return fastpath_positions(self, text)
-
-    def count_async(self, text):
-        return fastpath_count_async(self, text)
-
-    def scan_many(self, texts):
-        return fastpath_scan_many(self, texts)
-
-    def count_file(self, path: str, *, chunk: int = 1 << 28,
-                   depth: int = 3) -> int:
-        return fastpath_count_file(self, path, chunk=chunk, depth=depth)
+    def _count_jnp(self, text, n):
+        return wm_count(text, self.shift_ext, self.packed, self.bucket_ids,
+                        sigma=self.sigma, m=self.m, lmax=self.lmax,
+                        tile=self.tile, n=n)
 
     def core(self, ext):
         return wm_count_core(ext, self.shift_ext, self.packed, self.bucket_ids,
                              sigma=self.sigma, m=self.m, lmax=self.lmax, tile=self.tile)
 
 
-class SOGScanner:
+class SOGScanner(_FilterScanner):
     def __init__(self, sog: SOGTables, vt: VerifyTables, *, tile: int = DEFAULT_TILE):
         self.m, self.sigma, self.tile, self.lmax = sog.m, sog.sigma, tile, vt.lmax
         self.t_table = jnp.asarray(sog.T)
         self.packed = jnp.asarray(vt.packed)
         self.bucket_ids = jnp.asarray(vt.bucket_ids.reshape(-1))
 
-    def count(self, text) -> int:
-        fp = active_fastpath(self)
-        if fp is not None:
-            try:
-                return fp.count(text)
-            except OverflowError:
-                pass          # dense candidates: the capless jnp scan below
-        text = jnp.asarray(text, jnp.uint8)
-        return int(sog_count(text, self.t_table, self.packed, self.bucket_ids,
-                             sigma=self.sigma, m=self.m, lmax=self.lmax,
-                             tile=self.tile, n=int(text.shape[0])))
-
-    def positions(self, text):
-        return fastpath_positions(self, text)
-
-    def count_async(self, text):
-        return fastpath_count_async(self, text)
-
-    def scan_many(self, texts):
-        return fastpath_scan_many(self, texts)
-
-    def count_file(self, path: str, *, chunk: int = 1 << 28,
-                   depth: int = 3) -> int:
-        return fastpath_count_file(self, path, chunk=chunk, depth=depth)
+    def _count_jnp(self, text, n):
+        return sog_count(text, self.t_table, self.packed, self.bucket_ids,
+                         sigma=self.sigma, m=self.m, lmax=self.lmax,
+                         tile=self.tile, n=n)
 
     def core(self, ext):
         return sog_count_core(ext, self.t_table, self.packed, self.bucket_ids,
                               sigma=self.sigma, m=self.m, lmax=self.lmax, tile=self.tile)
 
 
-class SHScanner:
+class SHScanner(_FilterScanner):
     def __init__(self, sh: SHTables, *, tile: int = DEFAULT_TILE):
         self.m, self.sigma, self.tile = sh.m, sh.sigma, tile
         self.trans = jnp.asarray(pad_col(sh.transition, -1).reshape(-1))
         self.final = jnp.asarray(sh.final.astype(np.int32))
 
-    def count(self, text) -> int:
-        fp = active_fastpath(self)
-        if fp is not None:
-            try:
-                return fp.count(text)
-            except OverflowError:
-                pass          # dense candidates: the capless jnp scan below
-        text = jnp.asarray(text, jnp.uint8)
-        return int(sh_count(text, self.trans, self.final, sigma=self.sigma,
-                            m=self.m, tile=self.tile, n=int(text.shape[0])))
-
-    def positions(self, text):
-        return fastpath_positions(self, text)
-
-    def count_async(self, text):
-        return fastpath_count_async(self, text)
-
-    def scan_many(self, texts):
-        return fastpath_scan_many(self, texts)
-
-    def count_file(self, path: str, *, chunk: int = 1 << 28,
-                   depth: int = 3) -> int:
-        return fastpath_count_file(self, path, chunk=chunk, depth=depth)
+    def _count_jnp(self, text, n):
+        return sh_count(text, self.trans, self.final, sigma=self.sigma,
+                        m=self.m, tile=self.tile, n=n)
 
     def core(self, ext):
         return sh_count_core(ext, self.trans, self.final,
                              sigma=self.sigma, m=self.m, tile=self.tile)
 
 
-class SBOMScanner:
+class SBOMScanner(_FilterScanner):
     def __init__(self, sb: SBOMTables, vt: VerifyTables, *, tile: int = DEFAULT_TILE):
         self.m, self.sigma, self.tile, self.lmax = sb.m, sb.sigma, tile, vt.lmax
         self.trans = jnp.asarray(pad_col(sb.transition, -1).reshape(-1))
@@ -309,30 +285,10 @@ class SBOMScanner:
         self.packed = jnp.asarray(vt.packed)
         self.bucket_ids = jnp.asarray(vt.bucket_ids.reshape(-1))
 
-    def count(self, text) -> int:
-        fp = active_fastpath(self)
-        if fp is not None:
-            try:
-                return fp.count(text)
-            except OverflowError:
-                pass          # dense candidates: the capless jnp scan below
-        text = jnp.asarray(text, jnp.uint8)
-        return int(sbom_count(text, self.trans, self.final_count, self.packed,
-                              self.bucket_ids, sigma=self.sigma, m=self.m,
-                              lmax=self.lmax, tile=self.tile, n=int(text.shape[0])))
-
-    def positions(self, text):
-        return fastpath_positions(self, text)
-
-    def count_async(self, text):
-        return fastpath_count_async(self, text)
-
-    def scan_many(self, texts):
-        return fastpath_scan_many(self, texts)
-
-    def count_file(self, path: str, *, chunk: int = 1 << 28,
-                   depth: int = 3) -> int:
-        return fastpath_count_file(self, path, chunk=chunk, depth=depth)
+    def _count_jnp(self, text, n):
+        return sbom_count(text, self.trans, self.final_count, self.packed,
+                          self.bucket_ids, sigma=self.sigma, m=self.m,
+                          lmax=self.lmax, tile=self.tile, n=n)
 
     def core(self, ext):
         return sbom_count_core(ext, self.trans, self.final_count, self.packed,

@@ -134,9 +134,10 @@ def _stages_kernel(tile_ref, *refs, stages, m, sigma, n_starts, rb,
             ri += 1
         h = _stage_hit(kind, params, ref, t32, rb)
         hit = h if hit is None else (hit & h)
-    if mode == "count" and guard:
-        # counted without verification: mask pad-contaminated windows, whose
-        # packed ids can alias real ones (pallas_filter._pad_guard_2d)
+    if guard:
+        # used without verification (exact-tier counts/masks): mask
+        # pad-contaminated windows, whose packed ids can alias real ones
+        # (pallas_filter._pad_guard_2d)
         from tpu_smatcher.ops.pallas_filter import _pad_guard_2d
         hit = hit & _pad_guard_2d(t32[:, :LANES + m - 1], m, sigma)
     hit = jnp.where(_window_positions(rb) < n_starts, hit, 0)
@@ -165,18 +166,12 @@ def _run_stages(text, stages, tables, *, m, sigma, n, mode,
     or 'slots' (((nblocks, 128) compact per-block candidate positions,
     fused (>= nw_min,) int32 verify word view) — see
     pallas_filter.emit_slots / emit_words / fast.compact_slots)."""
-    tile, n_starts = overlap_rows(text, n, m, rb)
-    if mode == "slots" and tile.shape[0] * (LANES // 4) < nw_min:
-        # extend the grid with zero rows so the fused word view covers the
-        # verify gather margin (pallas_filter.filter_slots_pallas)
-        from tpu_smatcher.ops.common import cdiv
-        h = cdiv(max(m - 1, 1), LANES)
-        R2 = cdiv(cdiv(nw_min, LANES // 4), rb) * rb
-        padded = jnp.zeros((R2 * LANES + h * LANES,),
-                           jnp.uint8).at[:n].set(text[:n])
-        views = [padded[j * LANES: R2 * LANES + j * LANES].reshape(R2, LANES)
-                 for j in range(1 + h)]
-        tile = jnp.concatenate(views, axis=1)
+    from tpu_smatcher.ops.common import cdiv
+    # slots mode extends the grid with zero rows so the fused word view
+    # covers the verify gather margin (same layout as filter_slots_pallas)
+    tile, n_starts = overlap_rows(
+        text, n, m, rb,
+        min_rows=cdiv(nw_min, LANES // 4) if mode == "slots" else 0)
     R = tile.shape[0]
     kern = functools.partial(_stages_kernel, stages=tuple(stages), m=m,
                              sigma=sigma, n_starts=n_starts, rb=rb,
@@ -264,7 +259,11 @@ class EngineFastPath:
                 self.tables0 = []
             else:
                 sub = patterns[:, off:off + d]
-                bm = pack_bitmap(_wid_keys_np(sub, sigma), 1 << 16)
+                # size the bitmap to the d-gram key space (2^(d*bits)) —
+                # a fixed 1<<16 would cost up to 16x the bank gathers for
+                # mid-size alphabets (bits*d < 16)
+                bm = pack_bitmap(_wid_keys_np(sub, sigma),
+                                 max(4096, 1 << (d * bits)))
                 self.stage0 = ("wid", (off, d, bits))
                 self.tables0 = [jnp.asarray(bm),
                                 wid_weights(d, bits, off,
@@ -362,10 +361,24 @@ class EngineFastPath:
                                     row_slots=self.row_slots,
                                     n_starts=n - ft.m + 1)
         if o:
-            raise OverflowError(
-                "candidate cap exceeded; raise cap=/row_slots= or use the "
-                "jnp path")
+            # matches alone exceed the cap at every retry trial — finish
+            # exactly in budget-sized pieces (counts are TOTAL for every
+            # input; the shared tables make the piece counts identical)
+            return self._fallback_scanner()._count_chunked(text)
         return c
+
+    def _fallback_scanner(self):
+        """A FastScanner over the same tables, for the dense-corpus piece
+        ladder (its counts are identical by construction — same ft)."""
+        if getattr(self, "_fallback", None) is None:
+            from tpu_smatcher.ops.fast import FastScanner
+            self._fallback = FastScanner(
+                self.ft, cap=self.cap,
+                backend="pallas" if (self.interpret
+                                     or jax.default_backend() == "tpu")
+                else "xla",
+                interpret=self.interpret)
+        return self._fallback
 
     def core(self, ext):
         """Traceable per-shard (count, overflow) for shard_map distribution
@@ -402,8 +415,13 @@ class EngineFastPath:
         if n < self.m:
             return np.empty((0,), np.int64)
         stages, tables, exact = self._stages(n)
+        # the exact tier has no verification stage to reject pad-aliased
+        # window ids (out-of-alphabet bytes bleed into neighboring char
+        # fields) — guard like pallas_filter._exact_mask_kernel does, so the
+        # match set stays identical to FastScanner.positions
         mask2d = _run_stages(text, stages, tables, m=self.m, sigma=self.sigma,
-                             n=n, mode="mask", interpret=self.interpret)
+                             n=n, mode="mask", guard=exact,
+                             interpret=self.interpret)
         idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap,
                                row_slots=self.row_slots)
         if exact:
