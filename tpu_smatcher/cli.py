@@ -129,7 +129,9 @@ def load_inputs(args):
                                          frac_present=args.frac_present,
                                          seed=args.seed + 1)
     if args.save_patterns:
-        pats.save(args.save_patterns)
+        written = pats.save(args.save_patterns)
+        if written != args.save_patterns:
+            print(f"patterns written to {written}", file=sys.stderr)
     if args.save_corpus:
         np.asarray(text, np.uint8).tofile(args.save_corpus)
     return text, pats, time.time() - t0
@@ -145,6 +147,11 @@ def run_engine(name, text, pats, args):
 
     t0 = time.time()
     if args.devices > 1:
+        if args.tables or args.save_tables:
+            raise SystemExit(
+                "--tables/--save-tables are single-device options; they were "
+                "previously ignored silently with --devices > 1 — run the "
+                "checkpoint step with --devices 1")
         mesh = make_mesh(args.devices)
         if name == "fast":
             eng = make_fast(pats, backend=args.backend)
@@ -153,12 +160,16 @@ def run_engine(name, text, pats, args):
             scanner = make_distributed(name, pats, mesh, lanes=args.lanes,
                                        tile=args.tile)
     elif args.tables:
+        if args.algo == "all":
+            raise SystemExit(
+                "--tables holds ONE engine's checkpoint; --algo all would "
+                "feed it to every engine — pass the matching --algo")
         from tpu_smatcher.core.checkpoint import load_tables
         from tpu_smatcher.engines import attach_fastpath
         opts = {"backend": args.backend} if name == "fast" else {}
         scanner = make_engine_from_tables(
             name, load_tables(args.tables),
-            lanes=args.lanes,
+            lanes=args.lanes, q=args.q if name == "ac" else 1,
             tile=args.tile if name != "fast" else 1 << 24, **opts)
         if name != "fast":               # production Pallas path on TPU
             attach_fastpath(scanner, name, pats.codes, pats.sigma)
@@ -174,7 +185,7 @@ def run_engine(name, text, pats, args):
         save_tables(path, tables)
         opts = {"backend": args.backend} if name == "fast" else {}
         scanner = make_engine_from_tables(
-            name, tables, lanes=args.lanes,
+            name, tables, lanes=args.lanes, q=args.q if name == "ac" else 1,
             tile=args.tile if name != "fast" else 1 << 24, **opts)
         if name != "fast":
             attach_fastpath(scanner, name, pats.codes, pats.sigma)
@@ -233,8 +244,8 @@ def run_engine(name, text, pats, args):
                         "distributed --positions runs on the fast engine "
                         "only (counts are identical across engines)")
                 from tpu_smatcher.parallel.dist import DistributedPositions
-                eng_fp = make_fast(pats, backend=args.backend)
-                pos = DistributedPositions(eng_fp, scanner.mesh).positions(
+                # `eng` is the fast scanner already built for the counter
+                pos = DistributedPositions(eng, scanner.mesh).positions(
                     tdev, **count_kw)
             elif name == "fast":
                 pos = scanner.positions(tdev)

@@ -86,7 +86,18 @@ class Alphabet:
         corpora contain rare wildcards like 'N'); without one, bytes are
         validated to already be < size.
         """
-        arr = np.frombuffer(raw, dtype=np.uint8) if isinstance(raw, (bytes, bytearray)) else np.asarray(raw, dtype=np.uint8)
+        if isinstance(raw, (bytes, bytearray)):
+            arr = np.frombuffer(raw, dtype=np.uint8)
+        else:
+            # validate BEFORE the uint8 cast: np.asarray(..., uint8) wraps
+            # out-of-range values mod 256, which would alias a bad symbol to
+            # a valid code instead of raising
+            wide = np.asarray(raw)
+            if wide.size and (int(wide.max()) > 255 or int(wide.min()) < 0):
+                raise ValueError(
+                    f"corpus value {int(wide.max() if wide.max() > 255 else wide.min())} "
+                    "outside uint8 range")
+            arr = wide.astype(np.uint8)
         if self.chars is None:
             if arr.size and int(arr.max()) >= self.size:
                 raise ValueError(

@@ -37,6 +37,8 @@ def generate_patterns(
     n = len(text)
     if n < m:
         raise ValueError("text shorter than pattern length")
+    if not 0.0 <= frac_present <= 1.0:
+        raise ValueError(f"frac_present must be in [0, 1], got {frac_present}")
     n_present = int(round(p_size * frac_present))
     starts = rng.integers(0, n - m + 1, size=n_present)
     present = np.stack([text[s:s + m] for s in starts]) if n_present else np.zeros((0, m), np.uint8)

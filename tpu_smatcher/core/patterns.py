@@ -71,9 +71,14 @@ class PatternSet:
         """Flattened ``pattern2``-style view (p_size * m,)."""
         return self.codes.reshape(-1)
 
-    def save(self, path: str) -> None:
+    def save(self, path: str) -> str:
+        """Save as .npz; returns the path actually written (np.savez appends
+        '.npz' itself, which would silently diverge from the argument)."""
+        if not path.endswith(".npz"):
+            path += ".npz"
         np.savez_compressed(path, codes=self.codes, sigma=self.alphabet.size,
                             chars=np.frombuffer(self.alphabet.chars, np.uint8) if self.alphabet.chars else np.zeros(0, np.uint8))
+        return path
 
     @staticmethod
     def load(path: str) -> "PatternSet":

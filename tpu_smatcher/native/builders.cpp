@@ -275,13 +275,17 @@ int64_t tpu_encode_fasta(const uint8_t* in, int64_t n, const uint8_t* lut,
                          uint8_t* out) {
   int64_t o = 0;
   int64_t i = 0;
+  bool line_start = true;   // '>' marks a header ONLY at line start (FASTA
+                            // spec; keeps parity with the python fallback,
+                            // which tests line.startswith(b">"))
   while (i < n) {
     const uint8_t b = in[i];
-    if (b == '>') {                       // skip header line via memchr
+    if (b == '>' && line_start) {         // skip header line via memchr
       const void* nl = memchr(in + i, '\n', (size_t)(n - i));
       i = nl ? (int64_t)((const uint8_t*)nl - in) : n;
-      continue;
+      continue;                           // the '\n' itself is consumed below
     }
+    line_start = (b == '\n');
     const uint8_t v = lut[b];
     out[o] = v;                           // branchless emit
     o += (v != 255);

@@ -281,9 +281,9 @@ def oracle_wm(text, patterns, sigma):
     """search_wu2 semantics (wu/wu.c:151-209): hash the last 3 chars of the
     window, skip by SHIFT; on SHIFT==0 compare prefix hashes then memcmp,
     count <=1 per window end, advance 1."""
+    text, patterns = _as_arrays(text, patterns)
     if patterns.shape[1] < 3:
         raise ValueError("Wu-Manber needs m >= B = 3 (wu/wu.c block size)")
-    text, patterns = _as_arrays(text, patterns)
     p, m = patterns.shape
     n = len(text)
     SHIFT, PREFIX = _build_wm_tables(patterns, sigma)

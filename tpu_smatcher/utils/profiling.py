@@ -49,21 +49,31 @@ class PhaseTimer:
 
 
 def time_jit(fn, *args, reps: int = 5, warmup: int = 1, bytes_scanned: int | None = None):
-    """Device-synchronized timing of a jitted callable.
+    """Device-synchronized timing of a jitted callable — the TPU equivalent
+    of the reference's cudaEventRecord/ElapsedTime bracket.
 
-    Blocks on every output leaf (jax.block_until_ready), so the measured
-    interval covers the full device execution — the TPU equivalent of the
-    reference's cudaEventRecord/ElapsedTime bracket.  Returns a dict with
-    best/mean seconds and, when bytes_scanned is given, bytes_per_s (the
-    framework's headline unit).
+    Synchronizes by FETCHING one output leaf to the host, not merely
+    jax.block_until_ready: over the axon tunnel block_until_ready returns
+    immediately (CLAUDE.md), which would time dispatch only.  The fetch adds
+    one host round-trip per rep; for round-trip-free steady-state rates use
+    the queue-N-fetch-once pattern (bench.py).  Returns a dict with best/
+    mean seconds and, when bytes_scanned is given, bytes_per_s.
     """
     import jax
+    import numpy as np
+
+    def sync(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        if leaves:
+            np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[:1]
+        return out
+
     for _ in range(max(warmup, 0)):
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
     times = []
     for _ in range(max(reps, 1)):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
         times.append(time.perf_counter() - t0)
     best = min(times)
     out = {"best_s": best, "mean_s": sum(times) / len(times), "reps": len(times)}
