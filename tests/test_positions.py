@@ -100,6 +100,34 @@ def test_engine_positions_fp_tier():
         np.testing.assert_array_equal(eng.positions(text), want)
 
 
+def test_positions_file_streaming():
+    """positions_file = positions of the whole file, streamed in (m-1)-halo
+    pieces (including a boundary-straddling match and a piece-boundary
+    dense region) — the file analogue of count_file."""
+    import os
+    import tempfile
+    ab = Alphabet.dna()
+    text = datagen.generate_text(50_000, ab, seed=61)
+    pats = datagen.generate_patterns(text, 40, 8, ab, frac_present=0.6,
+                                     seed=62)
+    # plant a match straddling the 13_000-byte piece boundary
+    text = datagen.plant(text, pats.codes[0], [12_997, 25_999])
+    want = _positions_oracle(text, pats)
+    with tempfile.NamedTemporaryFile(delete=False) as fh:
+        fh.write(np.asarray(text).tobytes())
+        path = fh.name
+    try:
+        eng = make_fast(pats, backend="xla")
+        np.testing.assert_array_equal(eng.positions_file(path, chunk=13_000),
+                                      want)
+        from tpu_smatcher.engines import make_engine
+        wm = make_engine("wm", pats, interpret=True, tile=1 << 12)
+        np.testing.assert_array_equal(wm.positions_file(path, chunk=13_000),
+                                      want)
+    finally:
+        os.unlink(path)
+
+
 def test_distributed_positions():
     """Per-shard compaction + global offsets equals the oracle positions."""
     from tpu_smatcher.parallel import make_mesh

@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--tile", type=int, default=1 << 20,
                      help="filter-engine tile (window starts per tile)")
     run.add_argument("--reps", type=int, default=1, help="timed repetitions")
+    run.add_argument("--stream", action="store_true",
+                     help="stream the --text corpus from disk (count_file / "
+                          "positions_file) instead of loading it — for "
+                          "corpora larger than host memory; requires "
+                          "--patterns and a single device")
+    run.add_argument("--chunk", type=int, default=1 << 28,
+                     help="streamed piece size in bytes (--stream)")
     run.add_argument("--verify", action="store_true",
                      help="cross-check against the host ground truth "
                           "(loads the corpus windows on host; small corpora)")
@@ -101,7 +108,20 @@ def load_inputs(args):
 
     ab = Alphabet.of_size(args.alphabet)
     t0 = time.time()
-    if args.synthetic:
+    if args.stream:
+        # corpus stays on disk: scanned piecewise by count_file /
+        # positions_file (the reference must fit its shard in GPU memory,
+        # main.c:386 — here the corpus can exceed HOST memory)
+        if not args.text:
+            sys.exit("--stream requires --text (a pre-encoded corpus file)")
+        if not args.patterns:
+            sys.exit("--stream requires --patterns (patterns cannot be "
+                     "sampled from an unloaded corpus)")
+        if args.devices > 1:
+            sys.exit("--stream is single-device; shard big corpora with "
+                     "parallel.multihost.load_corpus_shards instead")
+        text = None
+    elif args.synthetic:
         if not args.n:
             sys.exit("--synthetic requires --n")
         text = datagen.generate_text(args.n, ab, seed=args.seed)
@@ -132,7 +152,7 @@ def load_inputs(args):
         written = pats.save(args.save_patterns)
         if written != args.save_patterns:
             print(f"patterns written to {written}", file=sys.stderr)
-    if args.save_corpus:
+    if args.save_corpus and text is not None:
         np.asarray(text, np.uint8).tofile(args.save_corpus)
     return text, pats, time.time() - t0
 
@@ -195,6 +215,40 @@ def run_engine(name, text, pats, args):
         scanner = make_engine(name, pats, lanes=args.lanes, tile=args.tile,
                               q=args.q if name == "ac" else 1)
     t_build = time.time() - t0
+
+    if text is None:                     # --stream: corpus stays on disk
+        import os
+        size = os.path.getsize(args.text)
+        t0 = time.time()
+        count = scanner.count_file(args.text, chunk=args.chunk)
+        t_first = time.time() - t0
+        t_scan = t_first
+        if args.reps > 1:
+            times = []
+            for _ in range(args.reps):
+                t0 = time.time()
+                count = scanner.count_file(args.text, chunk=args.chunk)
+                times.append(time.time() - t0)
+            t_scan = min(times)
+        if args.positions:
+            try:
+                pos = scanner.positions_file(args.text, chunk=args.chunk)
+            except NotImplementedError as e:
+                print(f"--positions skipped ({name}): {e}", file=sys.stderr)
+            else:
+                np.save(args.positions, pos)
+                if not args.json:
+                    print(f"[{name:5s}] {pos.size} match positions -> "
+                          f"{args.positions}")
+        return {
+            "engine": name,
+            "matches": int(count),
+            "time_preproc_s": round(t_build, 4),
+            "time_first_scan_s": round(t_first, 4),
+            "time_scan_s": round(t_scan, 4),
+            "bytes_per_s": round(size / t_scan, 1),
+            "device_bytes_per_s": round(size / t_scan, 1),
+        }
 
     count_kw = {}
     if args.devices == 1:
@@ -313,6 +367,8 @@ def main(argv=None):
 
     if args.verify:
         from tpu_smatcher.core import datagen
+        if text is None:                 # --stream: memmap for ground truth
+            text = np.memmap(args.text, dtype=np.uint8, mode="r")
         truth = datagen.count_matches(text, pats, prefer_native=True)
         ok = all(r["matches"] == truth for r in results)
         for r in results:

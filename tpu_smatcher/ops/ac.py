@@ -195,6 +195,10 @@ class ACScanner:
         from tpu_smatcher.ops.common import fastpath_count_file
         return fastpath_count_file(self, path, chunk=chunk, depth=depth)
 
+    def positions_file(self, path: str, *, chunk: int = 1 << 28):
+        from tpu_smatcher.ops.common import fastpath_positions_file
+        return fastpath_positions_file(self, path, chunk=chunk)
+
     def core(self, ext: jnp.ndarray) -> jnp.ndarray:
         """Traceable per-shard count (for shard_map distribution)."""
         return ac_count_core(ext, self.dp, sig_p=self.sig_p, m=self.m,

@@ -91,6 +91,39 @@ def fastpath_count_file(scanner, path: str, *, chunk: int = 1 << 28,
         chunk=chunk, depth=depth)
 
 
+def stream_positions_file(positions_fn, m: int, path: str, *,
+                          chunk: int = 1 << 28) -> np.ndarray:
+    """All match start positions of a pre-encoded corpus file, sorted,
+    without loading it fully: the same (m-1)-halo piece partition as
+    stream_count_file (each piece owns starts [i*chunk, (i+1)*chunk)), with
+    `positions_fn` enumerating each piece (itself pipelined and unbounded —
+    ops/fast.py FastScanner.positions).  Because pieces are int32-sized
+    internally but offsets accumulate in int64, files >= 2^31 bytes stream
+    fine — the reference only ever counts its positions (SURVEY.md: the
+    column loops in cuda_*); here they are a first-class streaming output."""
+    import os
+    size = os.path.getsize(path)
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    out = []
+    for start in range(0, max(size - m + 1, 1), chunk):
+        stop = min(size, start + chunk + m - 1)
+        pos = positions_fn(np.asarray(mm[start:stop]))
+        if pos.size:
+            out.append(pos.astype(np.int64) + start)
+    if not out:
+        return np.empty((0,), np.int64)
+    return np.concatenate(out)
+
+
+def fastpath_positions_file(scanner, path: str, *,
+                            chunk: int = 1 << 28) -> np.ndarray:
+    """stream_positions_file through the engine's fast path (raises
+    NotImplementedError without one, mirroring positions())."""
+    return stream_positions_file(
+        functools.partial(fastpath_positions, scanner), scanner.m, path,
+        chunk=chunk)
+
+
 def check_count32(n: int) -> None:
     """Counts are int32 end-to-end (per-lane accumulators, SMEM scalars,
     psum); a single scan over >= 2^31 window starts could wrap.  Callers

@@ -1012,6 +1012,15 @@ class FastScanner:
         return stream_count_file(self.count_async, self.m, path,
                                  chunk=chunk, depth=depth)
 
+    def positions_file(self, path: str, *, chunk: int = 1 << 28) -> np.ndarray:
+        """All match start positions of a corpus file, sorted, streamed in
+        `chunk`-byte (m-1)-halo pieces (each unbounded via positions()'s
+        split-on-overflow pipeline); int64 offsets, so files >= 2^31 bytes
+        stream fine — see common.stream_positions_file."""
+        from tpu_smatcher.ops.common import stream_positions_file
+        return stream_positions_file(self.positions, self.m, path,
+                                     chunk=chunk)
+
     def _positions_piece(self, piece):
         """Traceable (idxs (cap,) int32 with -1 padding, overflow) for ALL
         matching window starts of `piece` (every start is owned)."""

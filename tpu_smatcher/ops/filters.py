@@ -221,6 +221,10 @@ class _FilterScanner:
                    depth: int = 3) -> int:
         return fastpath_count_file(self, path, chunk=chunk, depth=depth)
 
+    def positions_file(self, path: str, *, chunk: int = 1 << 28) -> np.ndarray:
+        from tpu_smatcher.ops.common import fastpath_positions_file
+        return fastpath_positions_file(self, path, chunk=chunk)
+
 
 class WMScanner(_FilterScanner):
     def __init__(self, wm: WMTables, vt: VerifyTables, *, tile: int = DEFAULT_TILE):
