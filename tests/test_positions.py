@@ -128,6 +128,37 @@ def test_positions_file_streaming():
         os.unlink(path)
 
 
+def test_matches_attribution():
+    """matches() returns (positions, pattern_ids); smallest id on duplicate
+    patterns; every id's pattern equals the window at its position."""
+    from tpu_smatcher.core.patterns import PatternSet
+    ab = Alphabet.dna()
+    text = datagen.generate_text(40_000, ab, seed=71)
+    pats = datagen.generate_patterns(text, 30, 8, ab, frac_present=0.7,
+                                     seed=72)
+    # duplicate pattern 3 at the end: ids must still report 3, not 30
+    codes = np.vstack([pats.codes, pats.codes[3:4]])
+    pats = PatternSet(codes, ab)
+    text = np.asarray(datagen.plant(text, codes[3], [123]))
+    eng = make_fast(pats, backend="xla")
+    pos, ids = eng.matches(text)
+    np.testing.assert_array_equal(pos, _positions_oracle(text, pats))
+    win = text[np.asarray(pos)[:, None] + np.arange(8)]
+    np.testing.assert_array_equal(win, codes[ids])
+    assert ids.max() < 30                      # duplicate reports min id
+    assert 123 in pos and ids[list(pos).index(123)] == 3
+
+    from tpu_smatcher.engines import make_engine
+    wm = make_engine("wm", pats, interpret=True)
+    pos2, ids2 = wm.matches(text)
+    np.testing.assert_array_equal(pos2, pos)
+    np.testing.assert_array_equal(ids2, ids)
+
+    non_match = next(i for i in range(1000) if i not in set(pos.tolist()))
+    with pytest.raises(ValueError):
+        datagen.match_ids(text, np.array([non_match]), pats)
+
+
 def test_distributed_positions():
     """Per-shard compaction + global offsets equals the oracle positions."""
     from tpu_smatcher.parallel import make_mesh

@@ -80,6 +80,31 @@ def match_starts(text: np.ndarray, patterns: PatternSet | np.ndarray) -> np.ndar
     return np.isin(win_keys, pat_keys)
 
 
+def match_ids(text: np.ndarray, positions: np.ndarray,
+              patterns: PatternSet | np.ndarray) -> np.ndarray:
+    """Pattern id matching at each of `positions` (which must all be true
+    match starts, e.g. from scanner.positions()); the smallest id when
+    duplicate patterns share the window.  Host-side attribution: the
+    reference's verify loops identify the matching pattern (wu/wu.c:184-201,
+    sbom/sbom.c:176-190) but only count — here the attribution is a
+    first-class output.  O(N log p) via sorted void-key search."""
+    codes = patterns.codes if isinstance(patterns, PatternSet) else np.asarray(patterns, np.uint8)
+    p, m = codes.shape
+    positions = np.asarray(positions, np.int64)
+    if positions.size == 0:
+        return np.empty(0, np.int64)
+    text = np.asarray(text, np.uint8)
+    win = text[positions[:, None] + np.arange(m)]
+    win_keys = np.ascontiguousarray(win).view([("k", f"V{m}")]).reshape(-1)
+    pat_keys = np.ascontiguousarray(codes).view([("k", f"V{m}")]).reshape(-1)
+    order = np.argsort(pat_keys, kind="stable")   # stable: ties keep min id
+    srt = pat_keys[order]
+    idx = np.searchsorted(srt, win_keys, side="left")
+    if (idx >= p).any() or (srt[np.minimum(idx, p - 1)] != win_keys).any():
+        raise ValueError("positions contain a non-matching window start")
+    return order[idx].astype(np.int64)
+
+
 def count_matches(text: np.ndarray, patterns: PatternSet | np.ndarray,
                   prefer_native: bool = False) -> int:
     """Ground-truth total match count (one per position with >=1 match).

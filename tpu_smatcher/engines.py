@@ -84,6 +84,7 @@ def attach_fastpath(scanner, name: str, patterns: np.ndarray, sigma: int,
         kw["t_table"] = np.asarray(scanner.t_table)
     kind = "sog" if name.startswith("sog") else name
     scanner.fast_path = EngineFastPath(kind, patterns, sigma, **kw)
+    scanner.pattern_codes = np.asarray(patterns, np.uint8)  # for matches()
     return scanner
 
 
@@ -97,9 +98,10 @@ def make_engine(name: str, patterns: PatternSet, *, lanes: int = 8192,
     per-engine Pallas production path (used automatically on TPU)."""
     eng = make_engine_from_tables(name, build_tables(name, patterns),
                                   lanes=lanes, q=q, tile=tile)
+    codes, sigma = _codes(patterns)
     if fastpath and name != "fast":
-        codes, sigma = _codes(patterns)
         attach_fastpath(eng, name, codes, sigma, interpret=interpret)
+    eng.pattern_codes = np.asarray(codes, np.uint8)         # for matches()
     return eng
 
 
@@ -109,7 +111,9 @@ def make_fast(patterns: PatternSet, **opts):
     from tpu_smatcher.ops.fast import FastScanner, build_fast
     codes, sigma = _codes(patterns)
     n_stages = opts.pop("n_stages", None)
-    return FastScanner(build_fast(codes, sigma, n_stages=n_stages), **opts)
+    s = FastScanner(build_fast(codes, sigma, n_stages=n_stages), **opts)
+    s.pattern_codes = np.asarray(codes, np.uint8)           # for matches()
+    return s
 
 
 def make_distributed(name: str, patterns: PatternSet, mesh, **opts):

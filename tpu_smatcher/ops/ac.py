@@ -199,6 +199,10 @@ class ACScanner:
         from tpu_smatcher.ops.common import fastpath_positions_file
         return fastpath_positions_file(self, path, chunk=chunk)
 
+    def matches(self, text):
+        from tpu_smatcher.ops.common import scanner_matches
+        return scanner_matches(self, text)
+
     def core(self, ext: jnp.ndarray) -> jnp.ndarray:
         """Traceable per-shard count (for shard_map distribution)."""
         return ac_count_core(ext, self.dp, sig_p=self.sig_p, m=self.m,

@@ -40,6 +40,23 @@ def fastpath_positions(scanner, text):
     return fp.positions(text)
 
 
+def scanner_matches(scanner, text):
+    """(positions, pattern_ids): every match start plus the id of the
+    matching pattern (smallest id on duplicate patterns).  Positions come
+    from the scanner's unbounded enumeration; attribution is host-side
+    (core.datagen.match_ids) — the reference's verify loops identify the
+    pattern but only count it (wu/wu.c:184-201)."""
+    codes = getattr(scanner, "pattern_codes", None)
+    if codes is None:
+        raise ValueError(
+            "matches() needs the original pattern codes; construct the "
+            "scanner via make_fast/make_engine, or set "
+            "scanner.pattern_codes = patterns.codes")
+    pos = scanner.positions(text)
+    from tpu_smatcher.core.datagen import match_ids
+    return pos, match_ids(np.asarray(text, np.uint8), pos, codes)
+
+
 def fastpath_count_async(scanner, text):
     """count_async via the engine's fast path when active; otherwise a
     pre-resolved future around the synchronous count (uniform API)."""

@@ -1021,6 +1021,11 @@ class FastScanner:
         return stream_positions_file(self.positions, self.m, path,
                                      chunk=chunk)
 
+    def matches(self, text):
+        """(positions, pattern_ids) — see common.scanner_matches."""
+        from tpu_smatcher.ops.common import scanner_matches
+        return scanner_matches(self, text)
+
     def _positions_piece(self, piece):
         """Traceable (idxs (cap,) int32 with -1 padding, overflow) for ALL
         matching window starts of `piece` (every start is owned)."""

@@ -225,6 +225,10 @@ class _FilterScanner:
         from tpu_smatcher.ops.common import fastpath_positions_file
         return fastpath_positions_file(self, path, chunk=chunk)
 
+    def matches(self, text):
+        from tpu_smatcher.ops.common import scanner_matches
+        return scanner_matches(self, text)
+
 
 class WMScanner(_FilterScanner):
     def __init__(self, wm: WMTables, vt: VerifyTables, *, tile: int = DEFAULT_TILE):
