@@ -71,6 +71,15 @@ def main():
             text.tofile(cp)
             check(f"count_file [{tag}]",
                   fast.count_file(cp, chunk=1 << 20), truth)
+            check(f"positions_file [{tag}]",
+                  int(fast.positions_file(cp, chunk=1 << 20).sum()),
+                  int(want_pos.sum()))
+
+        # match->pattern attribution over the enumerated positions
+        mpos, mids = fast.matches(tdev)
+        win = np.asarray(text)[np.asarray(mpos)[:, None] + np.arange(m)]
+        check(f"matches attribution [{tag}]",
+              int((win == pats.codes[mids]).all() and mpos.size), truth)
 
         # pipelined batch API: one host fetch for three scans
         check(f"scan_many [{tag}]",
