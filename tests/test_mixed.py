@@ -1,0 +1,116 @@
+"""Mixed-length pattern sets (MixedPatternSet + engines.make_mixed).
+
+The reference's contract is one shared pattern length per run
+(/root/reference/main.c:456-459 indexes pattern2[p*m]; its generator emits
+fixed-m sets).  MixedScanner lifts that: one sub-scanner per distinct
+length over the same device text, counts summed — provably identical to
+running the reference once per length group.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_smatcher.core.alphabet import Alphabet
+from tpu_smatcher.core import datagen
+from tpu_smatcher.core.patterns import MixedPatternSet, PatternSet
+from tpu_smatcher.engines import make_mixed
+
+
+def _mixed_set(text, lengths, per_len, ab, seed=0):
+    """Patterns sampled from text windows (guaranteed hits) plus random
+    rows, across several lengths, as one shuffled mixed set."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for m in lengths:
+        for _ in range(per_len):
+            if rng.random() < 0.6:
+                s = rng.integers(0, len(text) - m + 1)
+                rows.append(np.asarray(text[s:s + m], np.uint8))
+            else:
+                rows.append(rng.integers(0, ab.size, size=m, dtype=np.uint8))
+    order = rng.permutation(len(rows))
+    return MixedPatternSet.from_rows([rows[i] for i in order], ab), \
+        [rows[i] for i in order]
+
+
+def _oracle_count(text, mixed):
+    return sum(int(datagen.count_matches(text, g)) for g in mixed.groups)
+
+
+def test_grouping_and_global_ids():
+    ab = Alphabet.dna()
+    rows = [np.zeros(8, np.uint8), np.ones(4, np.uint8),
+            np.full(8, 2, np.uint8), np.full(4, 3, np.uint8)]
+    mx = MixedPatternSet.from_rows(rows, ab)
+    assert mx.lengths == (4, 8)
+    assert mx.p_size == 4
+    # every original row is findable at its global id
+    for g, gids in zip(mx.groups, mx.ids):
+        for row, gid in zip(g.codes, gids):
+            np.testing.assert_array_equal(row, rows[gid])
+
+
+def test_mixed_count_matches_per_length_oracle():
+    ab = Alphabet.dna()
+    text = datagen.generate_text(50_000, ab, seed=11)
+    mx, _ = _mixed_set(text, (5, 8, 12), 20, ab, seed=12)
+    eng = make_mixed(mx, backend="xla")
+    assert eng.count(text) == _oracle_count(text, mx)
+
+
+def test_mixed_positions_and_matches():
+    ab = Alphabet.dna()
+    text = datagen.generate_text(30_000, ab, seed=21)
+    mx, rows = _mixed_set(text, (6, 9), 15, ab, seed=22)
+    eng = make_mixed(mx, backend="xla")
+
+    starts, lens = eng.positions(text)
+    exp = []
+    for g in mx.groups:
+        for p in np.nonzero(datagen.match_starts(text, g))[0]:
+            exp.append((int(p), g.m))
+    exp.sort()
+    assert list(zip(starts.tolist(), lens.tolist())) == exp
+
+    # matches(): global ids; each reported id's pattern occurs at its start
+    mstarts, mids = eng.matches(text)
+    for s, i in zip(mstarts.tolist(), mids.tolist()):
+        row = rows[i]
+        np.testing.assert_array_equal(np.asarray(text[s:s + len(row)]), row)
+
+
+def test_mixed_scan_many():
+    ab = Alphabet.of_size(8)
+    texts = [datagen.generate_text(20_000, ab, seed=s) for s in (31, 32, 33)]
+    mx, _ = _mixed_set(texts[0], (4, 7), 12, ab, seed=34)
+    eng = make_mixed(mx, backend="xla")
+    assert eng.scan_many(texts) == [_oracle_count(t, mx) for t in texts]
+
+
+def test_mixed_count_file_short_groups_tail(tmp_path):
+    """Chunked streaming must cover the tail starts that only the SHORT
+    lengths own (grid by m_min, not m_max)."""
+    ab = Alphabet.dna()
+    text = datagen.generate_text(20_000, ab, seed=41)
+    mx, _ = _mixed_set(text, (4, 64), 10, ab, seed=42)
+    path = tmp_path / "corpus.bin"
+    path.write_bytes(text.tobytes())
+    eng = make_mixed(mx, backend="xla")
+    got = eng.count_file(str(path), chunk=4096)
+    assert got == _oracle_count(text, mx) == eng.count(text)
+
+
+def test_mixed_engine_family():
+    """Mixed wrapper composes the named engines too (one WM per length)."""
+    ab = Alphabet.of_size(20)
+    text = datagen.generate_text(20_000, ab, seed=51)
+    mx, _ = _mixed_set(text, (5, 10), 10, ab, seed=52)
+    eng = make_mixed(mx, engine="wm", fastpath=False)
+    assert eng.count(text) == _oracle_count(text, mx)
+
+
+def test_mixed_rejects_uniform_set():
+    ab = Alphabet.dna()
+    pats = PatternSet(np.zeros((2, 8), np.uint8), ab)
+    with pytest.raises(TypeError):
+        make_mixed(pats)

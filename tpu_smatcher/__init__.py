@@ -20,7 +20,7 @@ Layers (bottom-up):
 __version__ = "0.1.0"
 
 from tpu_smatcher.core.alphabet import Alphabet
-from tpu_smatcher.core.patterns import PatternSet
+from tpu_smatcher.core.patterns import PatternSet, MixedPatternSet
 
 
 def scan(text, patterns, *, engine: str = "fast", reps: int = 1, **opts) -> dict:
@@ -54,4 +54,5 @@ def scan(text, patterns, *, engine: str = "fast", reps: int = 1, **opts) -> dict
             "bytes_per_s": round(n / t_scan, 1)}
 
 
-__all__ = ["Alphabet", "PatternSet", "scan", "__version__"]
+__all__ = ["Alphabet", "PatternSet", "MixedPatternSet", "scan",
+           "__version__"]

@@ -85,3 +85,70 @@ class PatternSet:
         z = np.load(path)
         chars = bytes(z["chars"].tobytes()) if z["chars"].size else None
         return PatternSet(z["codes"], Alphabet(int(z["sigma"]), chars))
+
+
+@dataclasses.dataclass(frozen=True)
+class MixedPatternSet:
+    """Patterns of MIXED lengths: one PatternSet per distinct length plus
+    the original (global) pattern id of every row.
+
+    The reference's contract is one shared length ``m`` per run (its
+    generator emits fixed-m sets, ``/root/reference/main.c:48-50``, and
+    every engine indexes ``pattern2[p*m]``); real pattern sets are not
+    uniform, so this groups by length and a MixedScanner (engines.py) runs
+    one sub-scan per group over the same device-resident text.  Counting
+    semantics: each length contributes its own windows-with-a-match count
+    (a start matching patterns of two lengths counts twice — exactly what
+    two reference runs, one per length, would report)."""
+
+    groups: tuple          # tuple[PatternSet, ...], ascending m, all same alphabet
+    ids: tuple             # tuple[np.ndarray, ...] global id per group row
+    alphabet: Alphabet
+
+    def __post_init__(self):
+        if not self.groups:
+            raise ValueError("MixedPatternSet needs at least one pattern")
+        ms = [g.m for g in self.groups]
+        if ms != sorted(set(ms)):
+            raise ValueError("groups must have distinct, ascending lengths")
+        for g, gid in zip(self.groups, self.ids):
+            if g.alphabet.size != self.alphabet.size:
+                raise ValueError("all groups must share one alphabet")
+            if len(gid) != g.p_size:
+                raise ValueError("ids must align with group rows")
+
+    @property
+    def p_size(self) -> int:
+        return sum(g.p_size for g in self.groups)
+
+    @property
+    def lengths(self) -> tuple:
+        return tuple(g.m for g in self.groups)
+
+    @property
+    def sigma(self) -> int:
+        return self.alphabet.size
+
+    @staticmethod
+    def from_rows(rows, alphabet: Alphabet) -> "MixedPatternSet":
+        """rows: iterable of encoded uint8 sequences (any lengths)."""
+        rows = [np.asarray(r, dtype=np.uint8) for r in rows]
+        if not rows:
+            raise ValueError("no patterns")
+        by_m: dict = {}
+        for i, r in enumerate(rows):
+            if r.ndim != 1 or r.size == 0:
+                raise ValueError(f"pattern {i} must be a non-empty 1-D array")
+            by_m.setdefault(r.size, []).append((i, r))
+        groups, ids = [], []
+        for m in sorted(by_m):
+            idx, rs = zip(*by_m[m])
+            groups.append(PatternSet(np.stack(rs), alphabet))
+            ids.append(np.asarray(idx, np.int64))
+        return MixedPatternSet(tuple(groups), tuple(ids), alphabet)
+
+    @staticmethod
+    def from_strings(strings, alphabet: Alphabet) -> "MixedPatternSet":
+        rows = [alphabet.encode(s.encode() if isinstance(s, str) else s)
+                for s in strings]
+        return MixedPatternSet.from_rows(rows, alphabet)

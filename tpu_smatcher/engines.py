@@ -126,3 +126,116 @@ def make_distributed(name: str, patterns: PatternSet, mesh, **opts):
     fp = active_fastpath(eng)
     core = fp.core if fp is not None else eng.core
     return DistributedCounter(core, mesh, m=patterns.m, sigma=patterns.sigma)
+
+
+class _MixedFuture:
+    """In-flight mixed-length scan: one sub-future per length group; the
+    host fetch happens only at result()."""
+
+    def __init__(self, futures):
+        self._futures = futures
+
+    def result(self) -> int:
+        return sum(f.result() for f in self._futures)
+
+
+class MixedScanner:
+    """Mixed-length pattern matching: one sub-scanner per distinct pattern
+    length, all scanning the same device-resident text, results combined.
+
+    The reference (and every uniform engine here) requires one shared
+    length m per run (main.c:456-459 indexes pattern2[p*m]); this wrapper
+    lifts that restriction.  count() is the sum of each length's
+    windows-with-a-match count (identical to running the reference once per
+    length); positions()/matches() merge the per-length enumerations with
+    global pattern ids.  Sub-scans are dispatched async, so the G length
+    groups pipeline on device and pay one host fetch each, not G round
+    trips per group."""
+
+    def __init__(self, patterns, scanners):
+        self.patterns = patterns
+        self.scanners = list(scanners)
+        self.lengths = patterns.lengths
+
+    def count_async(self, text) -> _MixedFuture:
+        import jax.numpy as jnp
+        text = jnp.asarray(np.asarray(text, np.uint8))
+        return _MixedFuture([s.count_async(text) for s in self.scanners])
+
+    def count(self, text) -> int:
+        return self.count_async(text).result()
+
+    def scan_many(self, texts) -> list:
+        futures = [self.count_async(t) for t in texts]
+        return [f.result() for f in futures]
+
+    def positions(self, text):
+        """(starts, lengths): every match start with the matched pattern
+        length, sorted by (start, length).  A start matching two lengths
+        appears once per length."""
+        import jax.numpy as jnp
+        text = jnp.asarray(np.asarray(text, np.uint8))
+        starts, lens = [], []
+        for m, s in zip(self.lengths, self.scanners):
+            pos = np.asarray(s.positions(text), np.int64)
+            starts.append(pos)
+            lens.append(np.full(pos.shape, m, np.int64))
+        starts = np.concatenate(starts)
+        lens = np.concatenate(lens)
+        order = np.lexsort((lens, starts))
+        return starts[order], lens[order]
+
+    def matches(self, text):
+        """(starts, pattern_ids): global ids into the original mixed set,
+        sorted by (start, id); duplicates-by-length enumerate separately."""
+        import jax.numpy as jnp
+        text = jnp.asarray(np.asarray(text, np.uint8))
+        starts, ids = [], []
+        for gids, s in zip(self.patterns.ids, self.scanners):
+            pos, local = s.matches(text)
+            starts.append(np.asarray(pos, np.int64))
+            ids.append(gids[np.asarray(local, np.int64)])
+        starts = np.concatenate(starts)
+        ids = np.concatenate(ids)
+        order = np.lexsort((ids, starts))
+        return starts[order], ids[order]
+
+    def count_file(self, path: str, *, chunk: int = 1 << 28,
+                   depth: int = 3) -> int:
+        """Stream a disk corpus once: piece i spans [i*chunk, i*chunk +
+        chunk + m_g - 1) PER GROUP g, so each group's starts partition
+        exactly (the (m-1)-halo scheme of common.stream_count_file), while
+        the file is read a single time at the largest length's halo."""
+        import os
+        size = os.path.getsize(path)
+        m_min, m_max = self.lengths[0], self.lengths[-1]
+        mm = np.memmap(path, dtype=np.uint8, mode="r")
+        total = 0
+        inflight = []
+        # Grid by the SHORTEST length: shorter groups own starts past the
+        # longest group's final piece (size - m_max < start <= size - m_min).
+        for start in range(0, max(size - m_min + 1, 1), chunk):
+            piece = np.asarray(mm[start:min(size, start + chunk + m_max - 1)])
+            for m, s in zip(self.lengths, self.scanners):
+                if start > size - m:
+                    continue                 # no starts left for this length
+                end = min(piece.shape[0], chunk + m - 1)
+                inflight.append(s.count_async(piece[:end]))
+                if len(inflight) >= depth * len(self.scanners):
+                    total += inflight.pop(0).result()
+        for f in inflight:
+            total += f.result()
+        return total
+
+
+def make_mixed(patterns, engine: str = "fast", **opts) -> MixedScanner:
+    """Scanner over a MixedPatternSet (core.patterns): `engine` names the
+    sub-scanner family ('fast' or any ENGINE_NAMES entry), built once per
+    distinct pattern length."""
+    from tpu_smatcher.core.patterns import MixedPatternSet
+    if not isinstance(patterns, MixedPatternSet):
+        raise TypeError("make_mixed expects a MixedPatternSet "
+                        "(PatternSet sets are uniform — use make_engine)")
+    make = (make_fast if engine == "fast"
+            else lambda g, **kw: make_engine(engine, g, **kw))
+    return MixedScanner(patterns, [make(g, **opts) for g in patterns.groups])
