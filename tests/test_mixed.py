@@ -114,3 +114,38 @@ def test_mixed_rejects_uniform_set():
     pats = PatternSet(np.zeros((2, 8), np.uint8), ab)
     with pytest.raises(TypeError):
         make_mixed(pats)
+
+
+def test_mixed_cli_fasta(tmp_path, capsys):
+    """CLI: a mixed-length FASTA pattern file routes through MixedScanner,
+    agrees with ground truth, and writes (start, length) positions."""
+    import json
+    from tpu_smatcher import cli
+    ab = Alphabet.dna()
+    text = datagen.generate_text(30_000, ab, seed=61)
+    tpath = tmp_path / "corpus.bin"
+    np.asarray(text, np.uint8).tofile(tpath)
+    rng = np.random.default_rng(62)
+    chars = b"ACGT"
+    fa = tmp_path / "pats.fa"
+    with open(fa, "w") as f:
+        for i in range(20):
+            m = int(rng.choice([5, 9]))
+            s = int(rng.integers(0, len(text) - m + 1))
+            f.write(f">p{i}\n" +
+                    "".join(chr(chars[c]) for c in text[s:s + m]) + "\n")
+    pos_path = tmp_path / "pos.npy"
+    cli.main(["--text", str(tpath), "--patterns", str(fa), "--m", "8",
+              "--alphabet", "4", "--algo", "fast", "--backend", "xla",
+              "--verify", "--positions", str(pos_path), "--json"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["matches"] == r["ground_truth"]
+    pos = np.load(pos_path)
+    assert pos.ndim == 2 and pos.shape[1] == 2
+    assert pos.shape[0] == r["matches"]
+    for s, m in pos[:20]:
+        win = bytes(text[s:s + m])
+        # the reported window must equal some pattern of that length
+        recs = [l.strip() for l in open(fa) if not l.startswith(">")]
+        assert any(len(rec) == m and
+                   ab.encode(rec.encode()).tobytes() == win for rec in recs)

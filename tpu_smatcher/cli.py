@@ -136,7 +136,16 @@ def load_inputs(args):
         if args.patterns.endswith(".npz"):
             pats = PatternSet.load(args.patterns)
         elif args.patterns.endswith((".fa", ".fasta")):
-            pats = PatternSet.from_fasta(args.patterns, ab)
+            try:
+                pats = PatternSet.from_fasta(args.patterns, ab)
+            except ValueError as e:
+                if "one length" not in str(e):
+                    raise
+                # mixed-length records: one sub-scanner per length
+                from tpu_smatcher.core.patterns import MixedPatternSet
+                pats = MixedPatternSet.from_fasta(args.patterns, ab)
+                print(f"mixed-length pattern set: lengths {pats.lengths} "
+                      f"({pats.p_size} patterns)", file=sys.stderr)
         else:
             raw = np.fromfile(args.patterns, dtype=np.uint8)
             if raw.size % args.m:
@@ -149,6 +158,9 @@ def load_inputs(args):
                                          frac_present=args.frac_present,
                                          seed=args.seed + 1)
     if args.save_patterns:
+        if not hasattr(pats, "save"):
+            sys.exit("--save-patterns supports uniform-length sets only "
+                     "(mixed sets load directly from FASTA)")
         written = pats.save(args.save_patterns)
         if written != args.save_patterns:
             print(f"patterns written to {written}", file=sys.stderr)
@@ -165,8 +177,20 @@ def run_engine(name, text, pats, args):
     from tpu_smatcher.parallel import make_mesh
     from tpu_smatcher.parallel.dist import DistributedCounter
 
+    from tpu_smatcher.core.patterns import MixedPatternSet
+    mixed = isinstance(pats, MixedPatternSet)
     t0 = time.time()
-    if args.devices > 1:
+    if mixed:
+        if args.devices > 1:
+            raise SystemExit("mixed-length pattern sets run single-device")
+        if args.tables or args.save_tables:
+            raise SystemExit("--tables/--save-tables need a uniform-length "
+                             "set (checkpoints hold one engine's tables)")
+        from tpu_smatcher.engines import make_mixed
+        opts = ({"backend": args.backend} if name == "fast"
+                else {"lanes": args.lanes, "tile": args.tile})
+        scanner = make_mixed(pats, engine=name, **opts)
+    elif args.devices > 1:
         if args.tables or args.save_tables:
             raise SystemExit(
                 "--tables/--save-tables are single-device options; they were "
@@ -236,9 +260,11 @@ def run_engine(name, text, pats, args):
             except NotImplementedError as e:
                 print(f"--positions skipped ({name}): {e}", file=sys.stderr)
             else:
+                if isinstance(pos, tuple):   # mixed: (starts, lengths)
+                    pos = np.stack(pos, axis=1)
                 np.save(args.positions, pos)
                 if not args.json:
-                    print(f"[{name:5s}] {pos.size} match positions -> "
+                    print(f"[{name:5s}] {len(pos)} match positions -> "
                           f"{args.positions}")
         return {
             "engine": name,
@@ -301,7 +327,7 @@ def run_engine(name, text, pats, args):
                 # `eng` is the fast scanner already built for the counter
                 pos = DistributedPositions(eng, scanner.mesh).positions(
                     tdev, **count_kw)
-            elif name == "fast":
+            elif mixed or name == "fast":
                 pos = scanner.positions(tdev)
             else:
                 from tpu_smatcher.ops.common import fastpath_positions
@@ -309,9 +335,11 @@ def run_engine(name, text, pats, args):
         except NotImplementedError as e:
             print(f"--positions skipped ({name}): {e}", file=sys.stderr)
         else:
+            if isinstance(pos, tuple):       # mixed: (starts, lengths)
+                pos = np.stack(pos, axis=1)
             np.save(args.positions, pos)
             if not args.json:
-                print(f"[{name:5s}] {pos.size} match positions -> {args.positions}")
+                print(f"[{name:5s}] {len(pos)} match positions -> {args.positions}")
 
     return {
         "engine": name,
@@ -367,9 +395,14 @@ def main(argv=None):
 
     if args.verify:
         from tpu_smatcher.core import datagen
+        from tpu_smatcher.core.patterns import MixedPatternSet
         if text is None:                 # --stream: memmap for ground truth
             text = np.memmap(args.text, dtype=np.uint8, mode="r")
-        truth = datagen.count_matches(text, pats, prefer_native=True)
+        if isinstance(pats, MixedPatternSet):
+            truth = sum(datagen.count_matches(text, g, prefer_native=True)
+                        for g in pats.groups)
+        else:
+            truth = datagen.count_matches(text, pats, prefer_native=True)
         ok = all(r["matches"] == truth for r in results)
         for r in results:
             r["ground_truth"] = int(truth)

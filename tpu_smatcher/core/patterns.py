@@ -49,23 +49,9 @@ class PatternSet:
 
     @staticmethod
     def from_fasta(path: str, alphabet: Alphabet) -> "PatternSet":
-        """One pattern per FASTA record; all records must share one length."""
-        from tpu_smatcher.core import corpus as corpus_mod
-        seqs = []
-        cur = []
-        with open(path, "rb") as f:
-            for line in f:
-                if line.startswith(b">"):
-                    if cur:
-                        seqs.append(b"".join(cur))
-                        cur = []
-                else:
-                    cur.append(b"".join(line.split()))
-        if cur:
-            seqs.append(b"".join(cur))
-        if not seqs:
-            raise ValueError(f"no FASTA records in {path}")
-        return PatternSet.from_strings(seqs, alphabet)
+        """One pattern per FASTA record; all records must share one length
+        (use MixedPatternSet.from_fasta for mixed-length records)."""
+        return PatternSet.from_strings(_fasta_records(path), alphabet)
 
     def flat(self) -> np.ndarray:
         """Flattened ``pattern2``-style view (p_size * m,)."""
@@ -85,6 +71,25 @@ class PatternSet:
         z = np.load(path)
         chars = bytes(z["chars"].tobytes()) if z["chars"].size else None
         return PatternSet(z["codes"], Alphabet(int(z["sigma"]), chars))
+
+
+def _fasta_records(path: str) -> list:
+    """Raw byte sequences, one per FASTA record."""
+    seqs = []
+    cur = []
+    with open(path, "rb") as f:
+        for line in f:
+            if line.startswith(b">"):
+                if cur:
+                    seqs.append(b"".join(cur))
+                    cur = []
+            else:
+                cur.append(b"".join(line.split()))
+    if cur:
+        seqs.append(b"".join(cur))
+    if not seqs:
+        raise ValueError(f"no FASTA records in {path}")
+    return seqs
 
 
 @dataclasses.dataclass(frozen=True)
@@ -152,3 +157,8 @@ class MixedPatternSet:
         rows = [alphabet.encode(s.encode() if isinstance(s, str) else s)
                 for s in strings]
         return MixedPatternSet.from_rows(rows, alphabet)
+
+    @staticmethod
+    def from_fasta(path: str, alphabet: Alphabet) -> "MixedPatternSet":
+        """One pattern per FASTA record, any mix of lengths."""
+        return MixedPatternSet.from_strings(_fasta_records(path), alphabet)

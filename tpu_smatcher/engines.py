@@ -128,6 +128,14 @@ def make_distributed(name: str, patterns: PatternSet, mesh, **opts):
     return DistributedCounter(core, mesh, m=patterns.m, sigma=patterns.sigma)
 
 
+def _device_u8(text):
+    """One uint8 device array shared by every length group's sub-scan —
+    without pulling an already-device-resident text back to host."""
+    import jax.numpy as jnp
+    text = jnp.asarray(text)
+    return text if text.dtype == jnp.uint8 else text.astype(jnp.uint8)
+
+
 class _MixedFuture:
     """In-flight mixed-length scan: one sub-future per length group; the
     host fetch happens only at result()."""
@@ -158,8 +166,7 @@ class MixedScanner:
         self.lengths = patterns.lengths
 
     def count_async(self, text) -> _MixedFuture:
-        import jax.numpy as jnp
-        text = jnp.asarray(np.asarray(text, np.uint8))
+        text = _device_u8(text)
         return _MixedFuture([s.count_async(text) for s in self.scanners])
 
     def count(self, text) -> int:
@@ -173,8 +180,7 @@ class MixedScanner:
         """(starts, lengths): every match start with the matched pattern
         length, sorted by (start, length).  A start matching two lengths
         appears once per length."""
-        import jax.numpy as jnp
-        text = jnp.asarray(np.asarray(text, np.uint8))
+        text = _device_u8(text)
         starts, lens = [], []
         for m, s in zip(self.lengths, self.scanners):
             pos = np.asarray(s.positions(text), np.int64)
@@ -188,8 +194,7 @@ class MixedScanner:
     def matches(self, text):
         """(starts, pattern_ids): global ids into the original mixed set,
         sorted by (start, id); duplicates-by-length enumerate separately."""
-        import jax.numpy as jnp
-        text = jnp.asarray(np.asarray(text, np.uint8))
+        text = _device_u8(text)
         starts, ids = [], []
         for gids, s in zip(self.patterns.ids, self.scanners):
             pos, local = s.matches(text)
@@ -226,6 +231,32 @@ class MixedScanner:
         for f in inflight:
             total += f.result()
         return total
+
+    def positions_file(self, path: str, *, chunk: int = 1 << 28):
+        """(starts, lengths) streamed from disk: the count_file piece grid
+        (by the shortest length), each piece enumerated per group, offsets
+        accumulated in int64 so files >= 2^31 bytes stream fine."""
+        import os
+        size = os.path.getsize(path)
+        m_min, m_max = self.lengths[0], self.lengths[-1]
+        mm = np.memmap(path, dtype=np.uint8, mode="r")
+        out_s, out_l = [], []
+        for start in range(0, max(size - m_min + 1, 1), chunk):
+            piece = np.asarray(mm[start:min(size, start + chunk + m_max - 1)])
+            for m, s in zip(self.lengths, self.scanners):
+                if start > size - m:
+                    continue
+                end = min(piece.shape[0], chunk + m - 1)
+                pos = np.asarray(s.positions(piece[:end]), np.int64)
+                if pos.size:
+                    out_s.append(pos + start)
+                    out_l.append(np.full(pos.shape, m, np.int64))
+        if not out_s:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        starts = np.concatenate(out_s)
+        lens = np.concatenate(out_l)
+        order = np.lexsort((lens, starts))
+        return starts[order], lens[order]
 
 
 def make_mixed(patterns, engine: str = "fast", **opts) -> MixedScanner:
