@@ -118,6 +118,22 @@ def main():
     check("distributed scan_many", bdc.scan_many([btext, btext]),
           [btruth, btruth])
 
+    # mixed-length pattern sets: one sub-scanner per length on the chip
+    from tpu_smatcher.core.patterns import MixedPatternSet
+    from tpu_smatcher.engines import make_mixed
+    mab = Alphabet.dna()
+    mtext = datagen.generate_text(1 << 22, mab, seed=17)
+    rng = np.random.default_rng(18)
+    rows = [np.asarray(mtext[s:s + m])
+            for m in (5, 8, 16) for s in rng.integers(0, (1 << 22) - 16, 40)]
+    mx = MixedPatternSet.from_rows(rows, mab)
+    mtruth = sum(int(datagen.count_matches(mtext, g)) for g in mx.groups)
+    meng = make_mixed(mx)
+    mdev = jax.device_put(jnp.asarray(mtext))
+    check("mixed-length count [m in 5/8/16]", meng.count(mdev), mtruth)
+    mstarts, mlens = meng.positions(mdev)
+    check("mixed-length positions", int(mstarts.size), mtruth)
+
     print("ALL PASS" if not failures else f"FAILURES: {failures}", flush=True)
     sys.exit(1 if failures else 0)
 
