@@ -149,3 +149,65 @@ def test_mixed_cli_fasta(tmp_path, capsys):
         recs = [l.strip() for l in open(fa) if not l.startswith(">")]
         assert any(len(rec) == m and
                    ab.encode(rec.encode()).tobytes() == win for rec in recs)
+
+
+def test_mixed_ids_group_count_mismatch():
+    """A too-short ids tuple must fail at construction, not later in
+    matches() global-id attribution (ADVICE r2)."""
+    ab = Alphabet.dna()
+    g5 = PatternSet(np.zeros((2, 5), np.uint8), ab)
+    g8 = PatternSet(np.zeros((3, 8), np.uint8), ab)
+    with pytest.raises(ValueError, match="one entry per group"):
+        MixedPatternSet((g5, g8), (np.arange(2),), ab)
+
+
+def test_mixed_groups_alphabet_char_map_checked():
+    """Groups must share the full alphabet (size AND char map), not just
+    the size (ADVICE r2)."""
+    plain4 = Alphabet(4)             # same size as dna(), different chars
+    g = PatternSet(np.zeros((2, 5), np.uint8), Alphabet.dna())
+    with pytest.raises(ValueError, match="alphabet"):
+        MixedPatternSet((g,), (np.arange(2),), plain4)
+
+
+def test_mixed_cli_algo_all_skips_sog(tmp_path, capsys):
+    """--algo all with a mixed set runs every per-length-capable engine,
+    skips SOG with a note, cross-checks, and exits 0 (ADVICE r2: this
+    used to crash mid-run with an unhandled ValueError)."""
+    import json
+    from tpu_smatcher import cli
+    ab = Alphabet.dna()
+    text = datagen.generate_text(20_000, ab, seed=71)
+    tpath = tmp_path / "corpus.bin"
+    np.asarray(text, np.uint8).tofile(tpath)
+    chars = b"ACGT"
+    fa = tmp_path / "pats.fa"
+    rng = np.random.default_rng(72)
+    with open(fa, "w") as f:
+        for i, m in enumerate([5, 8, 8, 11]):
+            s = int(rng.integers(0, len(text) - m + 1))
+            f.write(f">p{i}\n" +
+                    "".join(chr(chars[c]) for c in text[s:s + m]) + "\n")
+    cli.main(["--text", str(tpath), "--patterns", str(fa), "--m", "8",
+              "--alphabet", "4", "--algo", "all", "--verify", "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    names = {r["engine"] for r in out}
+    assert names == {"ac", "sh", "sbom", "wm", "fast"}   # no sog8
+    assert len({r["matches"] for r in out}) == 1
+    assert all(r["matches"] == r["ground_truth"] for r in out)
+
+
+def test_mixed_cli_explicit_sog_clear_exit(tmp_path):
+    """Explicit --algo sog8 on a mixed set exits with a clear message
+    instead of an unhandled ValueError (ADVICE r2)."""
+    from tpu_smatcher import cli
+    ab = Alphabet.dna()
+    text = datagen.generate_text(5_000, ab, seed=73)
+    tpath = tmp_path / "corpus.bin"
+    np.asarray(text, np.uint8).tofile(tpath)
+    fa = tmp_path / "pats.fa"
+    with open(fa, "w") as f:
+        f.write(">a\nACGTA\n>b\nACGTACGT\n")
+    with pytest.raises(SystemExit, match="mixes lengths"):
+        cli.main(["--text", str(tpath), "--patterns", str(fa), "--m", "8",
+                  "--alphabet", "4", "--algo", "sog8"])

@@ -136,14 +136,16 @@ def load_inputs(args):
         if args.patterns.endswith(".npz"):
             pats = PatternSet.load(args.patterns)
         elif args.patterns.endswith((".fa", ".fasta")):
-            try:
-                pats = PatternSet.from_fasta(args.patterns, ab)
-            except ValueError as e:
-                if "one length" not in str(e):
-                    raise
+            # detect mixed lengths structurally (one record read), not by
+            # matching PatternSet's error text — a rewording there must not
+            # silently disable mixed-length support
+            from tpu_smatcher.core.patterns import MixedPatternSet, _fasta_records
+            records = _fasta_records(args.patterns)
+            if len({len(r) for r in records}) == 1:
+                pats = PatternSet.from_strings(records, ab)
+            else:
                 # mixed-length records: one sub-scanner per length
-                from tpu_smatcher.core.patterns import MixedPatternSet
-                pats = MixedPatternSet.from_fasta(args.patterns, ab)
+                pats = MixedPatternSet.from_strings(records, ab)
                 print(f"mixed-length pattern set: lengths {pats.lengths} "
                       f"({pats.p_size} patterns)", file=sys.stderr)
         else:
@@ -368,9 +370,26 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     text, pats, t_read = load_inputs(args)
 
-    names = (["ac", "sh", "sbom", "wm", "fast"]
-             + ([f"sog{args.m}"] if args.m in (8, 16, 32) else [])
-             if args.algo == "all" else [args.algo])
+    from tpu_smatcher.core.patterns import MixedPatternSet
+    mixed = isinstance(pats, MixedPatternSet)
+    if args.algo == "all":
+        names = ["ac", "sh", "sbom", "wm", "fast"]
+        if mixed:
+            # SOG widths are per-length (m == 8/16/32); a mixed set would
+            # build one sogN sub-scanner per length group and crash on any
+            # group with m != N — skip it so 'all' degrades gracefully
+            print("skipping sog engines: SOG requires one shared pattern "
+                  "length in {8, 16, 32}, pattern set mixes lengths "
+                  f"{pats.lengths}", file=sys.stderr)
+        elif args.m in (8, 16, 32):
+            names.append(f"sog{args.m}")
+    else:
+        if mixed and args.algo.startswith("sog"):
+            sys.exit(f"--algo {args.algo} needs every pattern to have "
+                     f"length {args.algo[3:]}; this set mixes lengths "
+                     f"{pats.lengths} — use fast/ac/sh/sbom/wm (one "
+                     "sub-scanner per length)")
+        names = [args.algo]
 
     results = []
     for name in names:

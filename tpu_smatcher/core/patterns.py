@@ -116,9 +116,15 @@ class MixedPatternSet:
         ms = [g.m for g in self.groups]
         if ms != sorted(set(ms)):
             raise ValueError("groups must have distinct, ascending lengths")
+        if len(self.ids) != len(self.groups):
+            raise ValueError(
+                f"ids must have one entry per group: {len(self.ids)} id "
+                f"arrays for {len(self.groups)} groups")
         for g, gid in zip(self.groups, self.ids):
-            if g.alphabet.size != self.alphabet.size:
-                raise ValueError("all groups must share one alphabet")
+            if (g.alphabet.size != self.alphabet.size
+                    or g.alphabet.chars != self.alphabet.chars):
+                raise ValueError("all groups must share one alphabet "
+                                 "(size and character map)")
             if len(gid) != g.p_size:
                 raise ValueError("ids must align with group rows")
 

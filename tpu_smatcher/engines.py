@@ -221,11 +221,15 @@ class MixedScanner:
         # longest group's final piece (size - m_max < start <= size - m_min).
         for start in range(0, max(size - m_min + 1, 1), chunk):
             piece = np.asarray(mm[start:min(size, start + chunk + m_max - 1)])
+            # one host->device upload per piece, shared by every length
+            # group's sub-scan (a per-group jnp.asarray(piece[:end]) would
+            # re-transfer ~chunk bytes G times over the tunneled link)
+            pdev = _device_u8(piece)
             for m, s in zip(self.lengths, self.scanners):
                 if start > size - m:
                     continue                 # no starts left for this length
                 end = min(piece.shape[0], chunk + m - 1)
-                inflight.append(s.count_async(piece[:end]))
+                inflight.append(s.count_async(pdev[:end]))
                 if len(inflight) >= depth * len(self.scanners):
                     total += inflight.pop(0).result()
         for f in inflight:
@@ -243,11 +247,12 @@ class MixedScanner:
         out_s, out_l = [], []
         for start in range(0, max(size - m_min + 1, 1), chunk):
             piece = np.asarray(mm[start:min(size, start + chunk + m_max - 1)])
+            pdev = _device_u8(piece)         # shared upload (see count_file)
             for m, s in zip(self.lengths, self.scanners):
                 if start > size - m:
                     continue
                 end = min(piece.shape[0], chunk + m - 1)
-                pos = np.asarray(s.positions(piece[:end]), np.int64)
+                pos = np.asarray(s.positions(pdev[:end]), np.int64)
                 if pos.size:
                     out_s.append(pos + start)
                     out_l.append(np.full(pos.shape, m, np.int64))
