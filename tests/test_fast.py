@@ -199,3 +199,56 @@ def test_fused_word_view_matches_words_view():
     assert tw_fused.shape[0] >= nw
     tw = pf.words_view_pallas(t, nw=nw, interpret=True)
     assert np.array_equal(np.asarray(tw_fused)[:nw], np.asarray(tw))
+
+
+def test_flat_layout_block_aligned_zero_copy():
+    """Block-aligned texts take the flat kernels' zero-copy path (exact
+    tier: n % (EXACT_RB*128) == 0; fp tier: n % (FILTER_RB*128) == 0,
+    where the fused word view covers exactly n/4 words — no nw_min
+    margin).  Counts must match ground truth on both sides of the
+    alignment boundary."""
+    from tpu_smatcher.ops import pallas_filter as pf
+    # exact tier: rb=1024 -> aligned at 1024*128
+    n_al = pf.EXACT_RB * 128
+    for n in (n_al, n_al + 1, n_al - 1):
+        text, pats = make_case(4, 8, 100, n, seed=21)
+        eng = make_fast(pats, backend="pallas", interpret=True)
+        assert eng.count(text) == datagen.count_matches(text, pats)
+    # fp tier: rb=128 -> aligned at 128*128
+    n_al = pf.FILTER_RB * 128 * 3
+    for n in (n_al, n_al + 7, n_al - 7):
+        text, pats = make_case(4, 16, 64, n, seed=22)
+        eng = make_fast(pats, backend="pallas", interpret=True)
+        assert eng.count(text) == datagen.count_matches(text, pats)
+
+
+def test_flat_word_view_aligned_exact_length():
+    """In the zero-copy aligned case the fused word view is exactly n/4
+    words (no margin) — verify gathers clamp and _verify_matched masks
+    out-of-window tail bytes, so counts stay exact even for candidates in
+    the final window."""
+    import jax.numpy as jnp
+    from tpu_smatcher.ops import pallas_filter as pf
+    from tpu_smatcher.ops.fast import stages_for_block, words_len
+    n = pf.FILTER_RB * 128 * 2
+    text, pats = make_case(4, 16, 64, n, seed=23)
+    # plant a pattern in the FINAL window so the tail-clamp path is hit
+    text = text.copy()
+    text[n - 16:] = pats.codes[0]
+    eng = make_fast(pats, backend="pallas", interpret=True)
+    ft = eng.ft
+    k = min(stages_for_block(ft, pf.FILTER_RB * 128), len(ft.bitmaps))
+    _, tw = pf.filter_slots_pallas(jnp.asarray(text), ft.bitmaps[:k],
+                                   m=ft.m, n=n, n_stages=k,
+                                   nw_min=words_len(n, ft.words),
+                                   interpret=True)
+    assert tw.shape[0] == n // 4            # aligned: no margin words
+    assert eng.count(text) == datagen.count_matches(text, pats)
+
+
+def test_flat_layout_multi_view_long_m():
+    """m > 129 (multiple in-kernel context views) on the flat layout."""
+    for m in (130, 256):
+        text, pats = make_case(4, m, 16, 70_000, seed=24)
+        eng = make_fast(pats, backend="pallas", interpret=True)
+        assert eng.count(text) == datagen.count_matches(text, pats)

@@ -273,33 +273,6 @@ def derived_keys(bases: list, s: int, smask: int):
     return keys & smask
 
 
-def _candidates(tile_ref, bitmap_refs, w_refs, *, n_stages, n_starts, rb,
-                parts):
-    """Shared filter body: (rb, 128) int32 0/1 candidate mask for the block
-    — k derived stages from <= 3 MXU base fingerprints (adding a stage
-    costs ~3 ALU ops + its bank gathers, not another fingerprint pass)."""
-    nw = n_base_fps(n_stages)
-    t_bf = tile_ref[:].astype(jnp.int32).astype(jnp.bfloat16)
-    bases = [_fp_keys_mxu(t_bf, w_refs[i * parts:(i + 1) * parts], 0xFFFF)
-             for i in range(nw)]
-    smask = bitmap_refs[0].shape[0] * 4096 - 1
-    cand = None
-    for s in range(n_stages):
-        hit = _bitmap_lookup(bitmap_refs[s], derived_keys(bases, s, smask), rb)
-        cand = hit if cand is None else (cand & hit)
-    return jnp.where(_window_positions(rb) < n_starts, cand, 0)
-
-
-def _filter_kernel(tile_ref, *refs, m, n_stages, n_starts, rb, parts):
-    bitmap_refs = refs[:n_stages]
-    nw = n_base_fps(n_stages)
-    w_refs = refs[n_stages:n_stages + nw * parts]
-    mask_ref = refs[n_stages + nw * parts]
-    cand = _candidates(tile_ref, bitmap_refs, w_refs, n_stages=n_stages,
-                       n_starts=n_starts, rb=rb, parts=parts)
-    mask_ref[:] = cand.astype(jnp.int8)
-
-
 #: candidate slots extracted per grid block by the fused slot kernel.
 #: The stages_for_block budget keeps expected FALSE candidates per
 #: 16K-position block modest, but the derived stages are correlated (all
@@ -374,10 +347,85 @@ def emit_words(tile_ref, words_ref, *, rb):
     words_ref[:] = out
 
 
-def _filter_slots_kernel(tile_ref, *refs, m, n_stages, n_starts, rb, parts,
-                         slots):
-    """Filter + fused in-kernel compaction (emit_slots) + fused word view
-    (emit_words).
+@functools.lru_cache(maxsize=None)
+def fp_weights_views(mult: int, m: int):
+    """fp_weights restructured for the FLAT (rows, 128) text layout: one
+    (256, 128) bf16 [lo; hi] weight block per 128-byte context view j
+    (j in [0, 1 + ceil((m-1)/128))), where W_j[i, l] = mult^(j*128+i-l)
+    mod 2^16 on the band 0 <= j*128+i-l < m.
+
+    Each per-view matmul contracts over only 128 rows, so its f32
+    accumulation holds <= 128 terms of <= 255*255 — always exact, with no
+    PART_TERMS splitting even at m = 513.  Total MXU work never exceeds
+    the (rb, row_bytes) form's."""
+    h = cdiv(max(m - 1, 1), LANES)
+    out = []
+    for j in range(1 + h):
+        W = np.zeros((LANES, 128), np.int64)
+        for l in range(LANES):
+            for i in range(LANES):
+                e = j * LANES + i - l
+                if 0 <= e < m:
+                    W[i, l] = pow(mult, e, 1 << 16)
+        lo = (W & 0xFF).astype(np.float32)
+        hi = (W >> 8).astype(np.float32)
+        out.append(np.concatenate([lo, hi], axis=0).astype(jnp.bfloat16))
+    return tuple(out)
+
+
+def _ctx_views(a_ref, edge_ref, rb: int, h: int) -> list:
+    """The h+1 128-byte context views of a flat (rb, 128) block, derived
+    in-kernel: view j rows are the block's rows shifted up by j, with the
+    final j rows patched from the following 8 text rows (edge_ref) — the
+    (m-1)-byte halo of the overlap tile without materializing the (R,
+    row_bytes) concat in HBM (see _exact_flat_kernel's measurements)."""
+    a = a_ref[:].astype(jnp.int32)
+    views = [a]
+    if h:
+        row = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 0)
+        epad = jnp.concatenate(
+            [jnp.zeros((rb - 8, LANES), jnp.int32),
+             edge_ref[:].astype(jnp.int32)], axis=0)
+        for j in range(1, h + 1):
+            rolled = jnp.roll(a, -j, axis=0)
+            patch = jnp.roll(epad, 8 - j, axis=0)
+            views.append(jnp.where(row >= rb - j, patch, rolled))
+    return views
+
+
+def _fp_keys_views(views_bf: list, w_refs, mask: int) -> jnp.ndarray:
+    """Base fingerprint over the context views (w_refs: one (256, 128)
+    fp_weights_views block per view)."""
+    lo = hi = None
+    for v, w in zip(views_bf, w_refs):
+        l = jnp.dot(v, w[:LANES], preferred_element_type=jnp.float32)
+        h_ = jnp.dot(v, w[LANES:], preferred_element_type=jnp.float32)
+        lo = l if lo is None else lo + l
+        hi = h_ if hi is None else hi + h_
+    return (lo.astype(jnp.int32) + (hi.astype(jnp.int32) << 8)) & mask
+
+
+def _candidates_flat(a_ref, edge_ref, bitmap_refs, w_refs, *, m, n_stages,
+                     n_starts, rb):
+    """_candidates over the flat layout: context views from _ctx_views,
+    base fingerprints from per-view weight blocks."""
+    h = cdiv(max(m - 1, 1), LANES)
+    nv = 1 + h
+    views = _ctx_views(a_ref, edge_ref, rb, h)
+    views_bf = [v.astype(jnp.bfloat16) for v in views]
+    bases = [_fp_keys_views(views_bf, w_refs[i * nv:(i + 1) * nv], 0xFFFF)
+             for i in range(n_base_fps(n_stages))]
+    smask = bitmap_refs[0].shape[0] * 4096 - 1
+    cand = None
+    for s in range(n_stages):
+        hit = _bitmap_lookup(bitmap_refs[s], derived_keys(bases, s, smask), rb)
+        cand = hit if cand is None else (cand & hit)
+    return jnp.where(_window_positions(rb) < n_starts, cand, 0)
+
+
+def _filter_slots_flat_kernel(a_ref, edge_ref, *refs, m, n_stages, n_starts,
+                              rb, nv, slots):
+    """Filter + fused in-kernel compaction (emit_slots) + fused word view.
 
     Instead of writing the full (R, 128) mask to HBM (268 MB at 256 MiB
     text) for an XLA scatter-based compaction (~13.5 ms, R-element scatter
@@ -386,14 +434,31 @@ def _filter_slots_kernel(tile_ref, *refs, m, n_stages, n_starts, rb, parts,
     host-side compaction is over nblocks*slots elements."""
     bitmap_refs = refs[:n_stages]
     nw = n_base_fps(n_stages)
-    w_refs = refs[n_stages:n_stages + nw * parts]
-    tril_ref, triu_ref = refs[n_stages + nw * parts:n_stages + nw * parts + 2]
-    out_ref = refs[n_stages + nw * parts + 2]
-    words_ref = refs[n_stages + nw * parts + 3]
-    cand = _candidates(tile_ref, bitmap_refs, w_refs, n_stages=n_stages,
-                       n_starts=n_starts, rb=rb, parts=parts)
+    w_refs = refs[n_stages:n_stages + nw * nv]
+    tril_ref, triu_ref = refs[n_stages + nw * nv:n_stages + nw * nv + 2]
+    out_ref = refs[n_stages + nw * nv + 2]
+    words_ref = refs[n_stages + nw * nv + 3]
+    cand = _candidates_flat(a_ref, edge_ref, bitmap_refs, w_refs, m=m,
+                            n_stages=n_stages, n_starts=n_starts, rb=rb)
     emit_slots(cand, out_ref, tril_ref, triu_ref, rb=rb, slots=slots)
-    emit_words(tile_ref, words_ref, rb=rb)
+    emit_words_flat(a_ref, words_ref, rb=rb)
+
+
+def emit_words_flat(a_ref, words_ref, *, rb):
+    """emit_words for the flat layout: the block's 128 owned bytes per row
+    ARE the block (no [:, :LANES] slice of a wider tile)."""
+    owned = a_ref[:].astype(jnp.int32).reshape(rb // 4, 4, LANES)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rb // 4, LANES), 1)
+    j4 = (lane & 31) << 2
+    out = jnp.zeros((rb // 4, LANES), jnp.int32)
+    for q in range(4):
+        rq = owned[:, q, :]
+        acc = jnp.zeros((rb // 4, LANES), jnp.int32)
+        for k in range(4):
+            g = jnp.take_along_axis(rq, j4 + k, axis=1)
+            acc = acc | (g << (8 * k))
+        out = jnp.where((lane >> 5) == q, acc, out)
+    words_ref[:] = out
 
 
 @functools.lru_cache(maxsize=None)
@@ -422,25 +487,45 @@ def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
     The word view is the fused replacement for words_view_pallas: LE int32
     words of the text's owned bytes (zero-padded), covering at least
     nw_min words (pass fast.words_len(n, words)); the grid is extended
-    with zero blocks when the verify margin demands it."""
-    # every grid block emits rb*32 words of its owned bytes; min_rows
-    # extends the grid with zero rows so the fused word view covers the
-    # verify gather margin
-    tile, n_starts = overlap_rows(text, n, m, rb,
-                                  min_rows=cdiv(nw_min, LANES // 4))
-    R = tile.shape[0]
-    weights = tuple(part for i in range(n_base_fps(n_stages))
-                    for part in fp_weights(FP_MULTS[i], m))
-    parts = cdiv(m, PART_TERMS)
+    with zero blocks when the verify margin demands it.
+
+    Runs over the FLAT (rows, 128) text layout — context views derived
+    in-kernel (_ctx_views) instead of materializing overlap_rows' (R,
+    row_bytes) concat in HBM.  A block-aligned text (n == R*128, R a
+    multiple of rb) is read with ZERO host-side copies; the nw_min margin
+    is skipped there (word view = exactly the text's n/4 words — verify
+    gathers clamp and _verify_matched masks out-of-window tail bytes, so
+    margin words are never observed)."""
+    n_starts = max(0, n - m + 1)
+    h = cdiv(max(m - 1, 1), LANES)
+    nv = 1 + h
+    nb8 = rb // 8
+    R0 = max(1, cdiv(n_starts, LANES))
+    R0 = cdiv(R0, rb) * rb
+    if n == R0 * LANES and int(text.shape[0]) == n:
+        R = R0
+        rows = text.reshape(R, LANES)
+        last = R // 8 - 1
+        edge_map = lambda i: (jnp.minimum(i * nb8 + nb8, last), 0)
+    else:
+        # min_rows extends the grid with zero rows so the fused word view
+        # covers the verify gather margin
+        R = max(R0, cdiv(cdiv(nw_min, LANES // 4), rb) * rb)
+        padded = jnp.zeros(((R + 8) * LANES,), jnp.uint8).at[:n].set(text[:n])
+        rows = padded.reshape(R + 8, LANES)
+        edge_map = lambda i: (i * nb8 + nb8, 0)
+    weights = tuple(w for i in range(n_base_fps(n_stages))
+                    for w in fp_weights_views(FP_MULTS[i], m))
     tril, triu = _rank_weights(rb)
-    kern = functools.partial(_filter_slots_kernel, m=m, n_stages=n_stages,
-                             n_starts=n_starts, rb=rb, parts=parts,
-                             slots=slots)
+    kern = functools.partial(_filter_slots_flat_kernel, m=m,
+                             n_stages=n_stages, n_starts=n_starts, rb=rb,
+                             nv=nv, slots=slots)
     slotmat, words = pl.pallas_call(
         kern,
         grid=(R // rb,),
-        in_specs=[pl.BlockSpec((rb, row_bytes_for(m)), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)]
+        in_specs=[pl.BlockSpec((rb, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, LANES), edge_map, memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
            for b in bitmaps]
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -454,7 +539,7 @@ def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
         out_shape=[jax.ShapeDtypeStruct((1, (R // rb) * LANES), jnp.int32),
                    jax.ShapeDtypeStruct((R // 4, LANES), jnp.int32)],
         interpret=interpret,
-    )(tile, *bitmaps, *weights, tril, triu)
+    )(rows, rows, *bitmaps, *weights, tril, triu)
     return slotmat.reshape(R // rb, LANES), words.reshape(-1)
 
 
@@ -463,6 +548,87 @@ def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
 #: 12.5 GB/s going 512 -> 1024 with MXU keys; 256 KiB tile + 512 KiB bf16
 #: copy stay comfortably in VMEM)
 EXACT_RB = 1024
+
+
+def _exact_flat_kernel(a_ref, edge_ref, bitmap_ref, w_ref, out_ref, *,
+                       n_starts, rb):
+    """Exact count over the FLAT (rows, 128) text layout — no materialized
+    overlap tile.  The second 128-byte context view is derived in-kernel:
+    b[r] = a[r+1], i.e. a one-sublane roll with the block's following row
+    (edge_ref) patched into the last slot.  The wid matmul splits across
+    the two views (wid_weights rows [0,128)+[256,384) act on a, rows
+    [128,256)+[384,512) on b — same FLOPs as the (rb, 256) form).
+
+    Measured (scripts/probe_layout.py, 256 MiB DNA m=8 p=10k): the shipped
+    overlap_rows pipeline pays ~3.2 ms for the pad copy + (R, 256) HBM
+    concat (2n write + 2n kernel read); this layout reads the text once
+    (21.6 -> 19.6 ms padded, ~18.9 ms zero-copy aligned)."""
+    a = a_ref[:].astype(jnp.int32)
+    nxt = edge_ref[0:1, :].astype(jnp.int32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 0)
+    b = jnp.where(row == rb - 1, nxt, jnp.roll(a, -1, axis=0))
+    af = a.astype(jnp.bfloat16)
+    bf = b.astype(jnp.bfloat16)
+    lo = (jnp.dot(af, w_ref[0:128], preferred_element_type=jnp.float32)
+          + jnp.dot(bf, w_ref[128:256], preferred_element_type=jnp.float32))
+    hi = (jnp.dot(af, w_ref[256:384], preferred_element_type=jnp.float32)
+          + jnp.dot(bf, w_ref[384:512], preferred_element_type=jnp.float32))
+    keys = (lo.astype(jnp.int32) + (hi.astype(jnp.int32) << 8)) & 0xFFFF
+    hit = _bitmap_lookup(bitmap_ref, keys, rb)
+    hit = jnp.where(_window_positions(rb) < n_starts, hit, 0)
+    s = jnp.sum(hit, dtype=jnp.int32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[0, 0] = 0
+
+    out_ref[0, 0] += s
+
+
+@functools.partial(jax.jit, static_argnames=("m", "sigma", "n", "rb",
+                                             "interpret"))
+def _exact_count_flat(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
+                      sigma: int, n: int, rb: int = EXACT_RB,
+                      interpret: bool = False) -> jnp.ndarray:
+    """exact_count_pallas over the flat layout (guard=False paths).
+
+    When the text is already block-aligned (n == R*128 with R a multiple
+    of rb) the kernel reads it with ZERO host-side copies: the reshape is
+    free and the last block's edge row is clamped in-bounds (its garbage
+    bytes only reach keys of positions >= n_starts, which are masked —
+    a window starting at a valid position ends within the text)."""
+    n_starts = max(0, n - m + 1)
+    R = max(1, -(-n_starts // LANES))
+    R = -(-R // rb) * rb
+    nb8 = rb // 8
+    if n == R * LANES and int(text.shape[0]) == n:
+        rows = text.reshape(R, LANES)
+        last = R // 8 - 1
+        edge_map = lambda i: (jnp.minimum(i * nb8 + nb8, last), 0)
+        Rr = R
+    else:
+        flat_len = (R + 8) * LANES           # 8 zero rows feed the edge ref
+        padded = jnp.zeros((flat_len,), jnp.uint8).at[:n].set(text[:n])
+        rows = padded.reshape(R + 8, LANES)
+        edge_map = lambda i: (i * nb8 + nb8, 0)
+        Rr = R + 8
+    bits = _bits_per_char(sigma)
+    w = wid_weights(m, bits)
+    kern = functools.partial(_exact_flat_kernel, n_starts=n_starts, rb=rb)
+    out = pl.pallas_call(
+        kern,
+        grid=(R // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), edge_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bitmap.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        interpret=interpret,
+    )(rows, rows, bitmap, w)
+    return out[0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("m", "sigma", "n", "rb",
@@ -480,6 +646,11 @@ def exact_count_pallas(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
     with sigma-filled halos/tails — see _pad_guard_2d)."""
     if n < m:
         return jnp.int32(0)
+    if not guard:
+        # no pad guard needed -> the flat zero/one-copy layout (the guard
+        # path keeps the (rb, 256) overlap tile its window-max scan needs)
+        return _exact_count_flat(text, bitmap, m=m, sigma=sigma, n=n, rb=rb,
+                                 interpret=interpret)
     tile, n_starts = overlap_rows(text, n, m, rb)
     R = tile.shape[0]
     bits = _bits_per_char(sigma)
@@ -544,24 +715,50 @@ def words_view_pallas(text: jnp.ndarray, *, nw: int, rb: int = DEFAULT_RB,
     return out.reshape(-1)[:nw]
 
 
+def _filter_mask_flat_kernel(a_ref, edge_ref, *refs, m, n_stages, n_starts,
+                             rb, nv):
+    bitmap_refs = refs[:n_stages]
+    nw = n_base_fps(n_stages)
+    w_refs = refs[n_stages:n_stages + nw * nv]
+    mask_ref = refs[n_stages + nw * nv]
+    cand = _candidates_flat(a_ref, edge_ref, bitmap_refs, w_refs, m=m,
+                            n_stages=n_stages, n_starts=n_starts, rb=rb)
+    mask_ref[:] = cand.astype(jnp.int8)
+
+
 @functools.partial(jax.jit, static_argnames=("m", "n", "n_stages", "rb", "interpret"))
 def filter_mask_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
                        n_stages: int, rb: int = FILTER_RB,
                        interpret: bool = False) -> jnp.ndarray:
     """(n_starts,) int8 candidate mask from k fingerprint stages
-    (keys on the MXU, bitmap membership on the VPU)."""
-    tile, n_starts = overlap_rows(text, n, m, rb)
-    R = tile.shape[0]
-    weights = tuple(part for i in range(n_base_fps(n_stages))
-                    for part in fp_weights(FP_MULTS[i], m))
-    parts = cdiv(m, PART_TERMS)
-    kern = functools.partial(_filter_kernel, m=m, n_stages=n_stages,
-                             n_starts=n_starts, rb=rb, parts=parts)
+    (keys on the MXU, bitmap membership on the VPU), over the flat
+    (rows, 128) layout (zero-copy when block-aligned — see
+    filter_slots_pallas)."""
+    n_starts = max(0, n - m + 1)
+    h = cdiv(max(m - 1, 1), LANES)
+    nv = 1 + h
+    nb8 = rb // 8
+    R = max(1, cdiv(n_starts, LANES))
+    R = cdiv(R, rb) * rb
+    if n == R * LANES and int(text.shape[0]) == n:
+        rows = text.reshape(R, LANES)
+        last = R // 8 - 1
+        edge_map = lambda i: (jnp.minimum(i * nb8 + nb8, last), 0)
+    else:
+        padded = jnp.zeros(((R + 8) * LANES,), jnp.uint8).at[:n].set(text[:n])
+        rows = padded.reshape(R + 8, LANES)
+        edge_map = lambda i: (i * nb8 + nb8, 0)
+    weights = tuple(w for i in range(n_base_fps(n_stages))
+                    for w in fp_weights_views(FP_MULTS[i], m))
+    kern = functools.partial(_filter_mask_flat_kernel, m=m,
+                             n_stages=n_stages, n_starts=n_starts, rb=rb,
+                             nv=nv)
     mask = pl.pallas_call(
         kern,
         grid=(R // rb,),
-        in_specs=[pl.BlockSpec((rb, row_bytes_for(m)), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)]
+        in_specs=[pl.BlockSpec((rb, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, LANES), edge_map, memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
            for b in bitmaps]
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -569,5 +766,5 @@ def filter_mask_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
         out_specs=pl.BlockSpec((rb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, LANES), jnp.int8),
         interpret=interpret,
-    )(tile, *bitmaps, *weights)
+    )(rows, rows, *bitmaps, *weights)
     return mask      # (R, 128); invalid positions already zeroed in-kernel
