@@ -64,7 +64,7 @@ def _filter_slots_kernel_old(tile_ref, *refs, m, n_stages, n_starts, rb,
 @functools.partial(jax.jit, static_argnames=("m", "n", "n_stages", "slots",
                                              "nw_min", "rb"))
 def filter_slots_old(text, bitmaps, *, m, n, n_stages,
-                     slots=pf.BLOCK_SLOTS, nw_min=0, rb=pf.FILTER_RB):
+                     slots=pf.BLOCK_SLOTS, nw_min=0, rb=128):
     tile, n_starts = pf.overlap_rows(text, n, m, rb,
                                      min_rows=pf.cdiv(nw_min, LANES // 4))
     R = tile.shape[0]

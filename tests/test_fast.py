@@ -147,7 +147,7 @@ def test_slot_kernel_matches_mask_path():
     ft = eng.ft
     n = text.shape[0]
     t = jnp.asarray(text)
-    for k in (stages_for_block(ft, pf.FILTER_RB * 128), 1):
+    for k in (stages_for_block(ft, pf.SLOT_RB * 128), 1):
         k = min(k, len(ft.bitmaps))
         slotmat, _ = pf.filter_slots_pallas(t, ft.bitmaps[:k], m=ft.m, n=n,
                                             n_stages=k, interpret=True)
@@ -191,7 +191,7 @@ def test_fused_word_view_matches_words_view():
     ft = eng.ft
     n = text.shape[0]
     t = jnp.asarray(text)
-    k = min(stages_for_block(ft, pf.FILTER_RB * 128), len(ft.bitmaps))
+    k = min(stages_for_block(ft, pf.SLOT_RB * 128), len(ft.bitmaps))
     nw = words_len(n, ft.words)
     _, tw_fused = pf.filter_slots_pallas(t, ft.bitmaps[:k], m=ft.m, n=n,
                                          n_stages=k, nw_min=nw,
@@ -214,7 +214,7 @@ def test_flat_layout_block_aligned_zero_copy():
         text, pats = make_case(4, 8, 100, n, seed=21)
         eng = make_fast(pats, backend="pallas", interpret=True)
         assert eng.count(text) == datagen.count_matches(text, pats)
-    # fp tier: rb=128 -> aligned at 128*128
+    # fp tier: aligned at FILTER_RB*128
     n_al = pf.FILTER_RB * 128 * 3
     for n in (n_al, n_al + 7, n_al - 7):
         text, pats = make_case(4, 16, 64, n, seed=22)
@@ -237,7 +237,7 @@ def test_flat_word_view_aligned_exact_length():
     text[n - 16:] = pats.codes[0]
     eng = make_fast(pats, backend="pallas", interpret=True)
     ft = eng.ft
-    k = min(stages_for_block(ft, pf.FILTER_RB * 128), len(ft.bitmaps))
+    k = min(stages_for_block(ft, pf.SLOT_RB * 128), len(ft.bitmaps))
     _, tw = pf.filter_slots_pallas(jnp.asarray(text), ft.bitmaps[:k],
                                    m=ft.m, n=n, n_stages=k,
                                    nw_min=words_len(n, ft.words),

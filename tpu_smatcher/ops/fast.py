@@ -873,7 +873,7 @@ class FastScanner:
                                           interpret=self.interpret),
                     jnp.int32(0))
         k = stages_for(ft, n, self.cap)
-        kb = stages_for_block(ft, pf.FILTER_RB * 128)
+        kb = stages_for_block(ft, pf.SLOT_RB * 128)
         if kb > len(ft.bitmaps):
             # even all built stages cannot meet the per-block slot budget
             # (huge/saturating pattern sets) — use the mask+compact path
@@ -1156,7 +1156,7 @@ class FastScanner:
                                           interpret=self.interpret),
                     jnp.int32(0))
         k = stages_for(ft, n, self.cap)
-        kb = stages_for_block(ft, pf.FILTER_RB * 128)
+        kb = stages_for_block(ft, pf.SLOT_RB * 128)
         if kb <= len(ft.bitmaps):
             # fused in-kernel compaction + word view (see _device_count);
             # overflow still rides the psum so distributed scans raise,

@@ -43,7 +43,7 @@ from tpu_smatcher.ops.fast import (
     stages_for_block, verify_at, words_len)
 from tpu_smatcher.ops.lookup import pack_bitmap
 from tpu_smatcher.ops.pallas_filter import (
-    BLOCK_SLOTS, LANES, FILTER_RB, _bitmap_lookup, _fp_keys_mxu,
+    BLOCK_SLOTS, LANES, SLOT_RB, _bitmap_lookup, _fp_keys_mxu,
     _rank_weights, _window_positions, derived_keys, emit_slots, fp_weights,
     n_base_fps, overlap_rows, row_bytes_for, wid_weights, words_view_pallas)
 
@@ -161,7 +161,7 @@ def _stages_kernel(tile_ref, *refs, stages, m, sigma, n_starts, rb,
 
 
 def _run_stages(text, stages, tables, *, m, sigma, n, mode,
-                guard=False, nw_min=0, rb=FILTER_RB, interpret=False):
+                guard=False, nw_min=0, rb=SLOT_RB, interpret=False):
     """mode: 'count' (scalar total), 'mask' ((R, 128) int8 candidate mask),
     or 'slots' (((nblocks, 128) compact per-block candidate positions,
     fused (>= nw_min,) int32 verify word view) — see
@@ -305,7 +305,7 @@ class EngineFastPath:
         n = ext.shape[0]        # static under trace
         if n < self.m:
             return jnp.int32(0), jnp.int32(0)
-        kb = stages_for_block(ft, FILTER_RB * 128) if not ft.exact else 1
+        kb = stages_for_block(ft, SLOT_RB * 128) if not ft.exact else 1
         use_slots = (not ft.exact) and fused and kb <= len(ft.bitmaps)
         stages, tables, exact = self._stages(n, k_min=kb if use_slots else 1)
         if exact:

@@ -39,9 +39,20 @@ from tpu_smatcher.ops import keys as keys_mod
 LANES = 128
 ROW_BYTES = 256          # default row context (m <= 129); see row_bytes_for
 DEFAULT_RB = 512         # rows per grid block: (512, 256) uint8 tile = 128 KiB
-FILTER_RB = 128          # filter kernel: smaller blocks win (measured 61.6
-                         # vs 64.7 ms at rb=256, m=32 k=13 — per-stage temps
-                         # stay register/VMEM-resident)
+FILTER_RB = 512          # filter grid block.  128 won on the materialized
+                         # overlap tile (61.6 vs 64.7 ms at m=32); on the
+                         # FLAT layout bigger blocks win (m=32: 128 -> 256
+                         # -> 512 = 81.3 -> 78.0 -> 76.8 ms; rb=1024 OOMs
+                         # the 16 MB scoped VMEM) — fewer grid steps, and
+                         # the slot budget is unaffected because extraction
+                         # stays per SLOT_RB sub-block (slot_row); verified
+                         # to fit VMEM through m=513 (5 context views)
+SLOT_RB = 128            # slot-extraction sub-block: the 16-slot budget is
+                         # calibrated per 16K positions (BLOCK_SLOTS) — at
+                         # 32K blocks the measured m=16 BASELINE corpus has
+                         # 9 blocks exceeding 16 candidates (max 21), so a
+                         # bigger filter block must NOT dilate the slot
+                         # granularity
 MAX_FAST_M = 513         # longest pattern on the Pallas fast path (4 halo
                          # row-views; the reference kernels take any m —
                          # cuda/cuda_wm.cu:67-70 — so long patterns must not
@@ -292,19 +303,23 @@ def derived_keys(bases: list, s: int, smask: int):
 BLOCK_SLOTS = 16
 
 
-def emit_slots(cand, out_ref, tril_ref, triu_ref, *, rb, slots):
-    """IN-KERNEL candidate compaction: write this block's (1, 128) slot row
-    — lanes [0, slots) hold global candidate positions in block order (-1 =
-    empty), lane `slots` the block's TRUE candidate count.
+def slot_row(cand, tril_ref, triu_ref, *, gpos, slots) -> jnp.ndarray:
+    """IN-KERNEL candidate compaction: the (1, 128) slot row of a candidate
+    sub-block — lanes [0, slots) hold global candidate positions in
+    sub-block order (-1 = empty), lane `slots` the TRUE candidate count.
 
     Per-candidate in-block rank (row-major) comes from two triangular-ones
     MXU matmuls: rows_before[r] = sum_lanes (TRIL_strict @ cand)[r, :] and
     lane-exclusive prefix E = cand @ TRIU_strict; slot k then extracts its
     candidate with one masked reduction (rank == k).  0/1 operands and
-    counts <= 2^24 keep the bf16xbf16->f32 matmuls exact."""
+    counts <= 2^24 keep the bf16xbf16->f32 matmuls exact.
+
+    cand: (SLOT_RB, 128) int32 0/1; gpos: (SLOT_RB, 128) global positions.
+    Non-candidates may share rank values with candidates, so the masked
+    value g1 is pre-zeroed ONCE instead of AND-ing is_cand into every
+    slot's predicate (probe_slots2.py variant b: ~1 ms / 256 MiB)."""
     total = jnp.sum(cand, dtype=jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    gpos = _window_positions(rb)
     # unconditional extraction: gating the rank+extract work behind a
     # pl.when(total > 0) was MEASURED SLOWER (84.3 vs 82.1 ms at m=32 —
     # the per-block branch disturbs grid-step pipelining more than the
@@ -315,13 +330,19 @@ def emit_slots(cand, out_ref, tril_ref, triu_ref, *, rb, slots):
         axis=1, keepdims=True)                                  # (rb, 1)
     lane_ex = jnp.dot(cf, triu_ref[:], preferred_element_type=jnp.float32)
     rank = (rows_before + lane_ex).astype(jnp.int32)            # (rb, 128)
+    g1 = jnp.where(cand > 0, gpos + 1, 0)
     out = jnp.full((1, LANES), -1, jnp.int32)
-    is_cand = cand > 0
     for k in range(slots):
-        pk = jnp.sum(jnp.where(is_cand & (rank == k), gpos + 1, 0),
-                     dtype=jnp.int32) - 1
+        pk = jnp.sum(jnp.where(rank == k, g1, 0), dtype=jnp.int32) - 1
         out = jnp.where(lane == k, pk, out)
-    out_ref[:] = jnp.where(lane == slots, total, out)
+    return jnp.where(lane == slots, total, out)
+
+
+def emit_slots(cand, out_ref, tril_ref, triu_ref, *, rb, slots):
+    """slot_row over a whole (rb, 128) block, written to out_ref — the
+    form the per-engine kernels use (pallas_engines, rb = SLOT_RB)."""
+    out_ref[:] = slot_row(cand, tril_ref, triu_ref,
+                          gpos=_window_positions(rb), slots=slots)
 
 
 def emit_words(tile_ref, words_ref, *, rb):
@@ -425,13 +446,16 @@ def _candidates_flat(a_ref, edge_ref, bitmap_refs, w_refs, *, m, n_stages,
 
 def _filter_slots_flat_kernel(a_ref, edge_ref, *refs, m, n_stages, n_starts,
                               rb, nv, slots):
-    """Filter + fused in-kernel compaction (emit_slots) + fused word view.
+    """Filter + fused in-kernel compaction (slot_row) + fused word view.
 
     Instead of writing the full (R, 128) mask to HBM (268 MB at 256 MiB
     text) for an XLA scatter-based compaction (~13.5 ms, R-element scatter
     — see docs/DESIGN.md dead ends), each grid block emits `slots` compact
-    candidate positions + its candidate count: a 2^15x smaller output whose
-    host-side compaction is over nblocks*slots elements."""
+    candidate positions + its candidate count PER SLOT_RB SUB-BLOCK: a
+    2^15x smaller output whose host-side compaction is over
+    nblocks*halves*slots elements.  Extraction per 16K-position sub-block
+    keeps the BLOCK_SLOTS budget calibration while the filter block (rb)
+    grows for grid-step economy."""
     bitmap_refs = refs[:n_stages]
     nw = n_base_fps(n_stages)
     w_refs = refs[n_stages:n_stages + nw * nv]
@@ -440,7 +464,12 @@ def _filter_slots_flat_kernel(a_ref, edge_ref, *refs, m, n_stages, n_starts,
     words_ref = refs[n_stages + nw * nv + 3]
     cand = _candidates_flat(a_ref, edge_ref, bitmap_refs, w_refs, m=m,
                             n_stages=n_stages, n_starts=n_starts, rb=rb)
-    emit_slots(cand, out_ref, tril_ref, triu_ref, rb=rb, slots=slots)
+    gpos = _window_positions(rb)
+    for hh in range(rb // SLOT_RB):
+        sub = slice(hh * SLOT_RB, (hh + 1) * SLOT_RB)
+        row = slot_row(cand[sub], tril_ref, triu_ref, gpos=gpos[sub],
+                       slots=slots)
+        out_ref[0:1, hh * LANES:(hh + 1) * LANES] = row
     emit_words_flat(a_ref, words_ref, rb=rb)
 
 
@@ -516,7 +545,8 @@ def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
         edge_map = lambda i: (i * nb8 + nb8, 0)
     weights = tuple(w for i in range(n_base_fps(n_stages))
                     for w in fp_weights_views(FP_MULTS[i], m))
-    tril, triu = _rank_weights(rb)
+    tril, triu = _rank_weights(SLOT_RB)
+    halves = rb // SLOT_RB
     kern = functools.partial(_filter_slots_flat_kernel, m=m,
                              n_stages=n_stages, n_starts=n_starts, rb=rb,
                              nv=nv, slots=slots)
@@ -532,15 +562,16 @@ def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
            for w in weights]
         + [pl.BlockSpec(tril.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
            pl.BlockSpec(triu.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, LANES), lambda i: (0, i),
+        out_specs=[pl.BlockSpec((1, halves * LANES), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((rb // 4, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((1, (R // rb) * LANES), jnp.int32),
+        out_shape=[jax.ShapeDtypeStruct((1, (R // rb) * halves * LANES),
+                                        jnp.int32),
                    jax.ShapeDtypeStruct((R // 4, LANES), jnp.int32)],
         interpret=interpret,
     )(rows, rows, *bitmaps, *weights, tril, triu)
-    return slotmat.reshape(R // rb, LANES), words.reshape(-1)
+    return slotmat.reshape((R // rb) * halves, LANES), words.reshape(-1)
 
 
 #: rows per block for the exact COUNT kernel: larger blocks amortize the
