@@ -226,3 +226,55 @@ def test_distributed_positions_chunked():
     dp = DistributedPositions(fast, mesh)
     np.testing.assert_array_equal(dp.positions(text, chunk=700),
                                   _positions_oracle(text, pats))
+
+
+def test_count_per_pattern():
+    """count_per_pattern() is the matches() histogram: sums to count(),
+    equals a brute-force per-pattern occurrence count (duplicates credited
+    to the smallest id), and works on engines and mixed sets."""
+    from tpu_smatcher.core.patterns import PatternSet
+    ab = Alphabet.dna()
+    text = datagen.generate_text(40_000, ab, seed=81)
+    pats = datagen.generate_patterns(text, 25, 8, ab, frac_present=0.7,
+                                     seed=82)
+    eng = make_fast(pats, backend="xla")
+    per = eng.count_per_pattern(text)
+    assert per.shape == (25,) and per.sum() == eng.count(text)
+    # brute force: occurrences of each pattern as a window (duplicates
+    # would be credited to the smallest id; this set has none)
+    win = np.lib.stride_tricks.sliding_window_view(np.asarray(text), 8)
+    for i, pat in enumerate(pats.codes):
+        assert per[i] == int((win == pat).all(axis=1).sum())
+
+    from tpu_smatcher.engines import make_engine
+    wm = make_engine("wm", pats, interpret=True)
+    np.testing.assert_array_equal(wm.count_per_pattern(text), per)
+
+
+def test_count_per_pattern_mixed():
+    from tpu_smatcher.core.patterns import MixedPatternSet
+    from tpu_smatcher.engines import make_mixed
+    ab = Alphabet.dna()
+    text = datagen.generate_text(30_000, ab, seed=83)
+    rng = np.random.default_rng(84)
+    rows = []
+    for m in (5, 8, 11):
+        for _ in range(6):
+            s = rng.integers(0, len(text) - m + 1)
+            rows.append(np.asarray(text[s:s + m], np.uint8))
+    order = rng.permutation(len(rows))
+    mx = MixedPatternSet.from_rows([rows[i] for i in order], ab)
+    sc = make_mixed(mx, backend="xla")
+    per = sc.count_per_pattern(text)
+    assert per.shape == (18,) and per.sum() == sc.count(text)
+    for i, pat in enumerate([rows[j] for j in order]):
+        m = len(pat)
+        win = np.lib.stride_tricks.sliding_window_view(np.asarray(text), m)
+        brute = int((win == pat).all(axis=1).sum())
+        # duplicates inside a length group credit the smallest global id
+        dup = [j for j, q in enumerate([rows[k] for k in order])
+               if len(q) == m and np.array_equal(q, pat)]
+        if dup[0] == i:
+            assert per[i] == brute
+        else:
+            assert per[i] == 0

@@ -205,6 +205,14 @@ class MixedScanner:
         order = np.lexsort((ids, starts))
         return starts[order], ids[order]
 
+    def count_per_pattern(self, text) -> np.ndarray:
+        """(p_size,) int64 match-start counts per ORIGINAL pattern id
+        (duplicates within a length group credit the smallest id, as in
+        matches()); sums to count(text)."""
+        _, ids = self.matches(text)
+        return np.bincount(np.asarray(ids, np.int64),
+                           minlength=self.patterns.p_size).astype(np.int64)
+
     def count_file(self, path: str, *, chunk: int = 1 << 28,
                    depth: int = 3) -> int:
         """Stream a disk corpus once: piece i spans [i*chunk, i*chunk +

@@ -203,6 +203,10 @@ class ACScanner:
         from tpu_smatcher.ops.common import scanner_matches
         return scanner_matches(self, text)
 
+    def count_per_pattern(self, text):
+        from tpu_smatcher.ops.common import scanner_count_per_pattern
+        return scanner_count_per_pattern(self, text)
+
     def core(self, ext: jnp.ndarray) -> jnp.ndarray:
         """Traceable per-shard count (for shard_map distribution)."""
         return ac_count_core(ext, self.dp, sig_p=self.sig_p, m=self.m,

@@ -57,6 +57,27 @@ def scanner_matches(scanner, text):
     return pos, match_ids(np.asarray(text, np.uint8), pos, codes)
 
 
+def scanner_count_per_pattern(scanner, text) -> np.ndarray:
+    """(p,) int64 — how many window starts each pattern matches.
+
+    Histogram of matches(): per position the matching pattern is unique
+    for equal-length patterns (the window determines the string), except
+    byte-identical duplicates, which are credited to the smallest id —
+    the same attribution matches() reports.  Totals sum to count(text).
+    The reference identifies the pattern in its verify loops but only
+    counts the total (wu/wu.c:184-201); this makes the per-pattern
+    breakdown a first-class output."""
+    codes = getattr(scanner, "pattern_codes", None)
+    if codes is None:
+        raise ValueError(
+            "count_per_pattern() needs the original pattern codes; "
+            "construct the scanner via make_fast/make_engine, or set "
+            "scanner.pattern_codes = patterns.codes")
+    _, ids = scanner.matches(text)
+    return np.bincount(np.asarray(ids, np.int64), minlength=len(codes)
+                       ).astype(np.int64)
+
+
 def fastpath_count_async(scanner, text):
     """count_async via the engine's fast path when active; otherwise a
     pre-resolved future around the synchronous count (uniform API)."""

@@ -1026,6 +1026,12 @@ class FastScanner:
         from tpu_smatcher.ops.common import scanner_matches
         return scanner_matches(self, text)
 
+    def count_per_pattern(self, text):
+        """(p,) int64 per-pattern match-start counts — see
+        common.scanner_count_per_pattern."""
+        from tpu_smatcher.ops.common import scanner_count_per_pattern
+        return scanner_count_per_pattern(self, text)
+
     def _positions_piece(self, piece):
         """Traceable (idxs (cap,) int32 with -1 padding, overflow) for ALL
         matching window starts of `piece` (every start is owned)."""

@@ -229,6 +229,10 @@ class _FilterScanner:
         from tpu_smatcher.ops.common import scanner_matches
         return scanner_matches(self, text)
 
+    def count_per_pattern(self, text):
+        from tpu_smatcher.ops.common import scanner_count_per_pattern
+        return scanner_count_per_pattern(self, text)
+
 
 class WMScanner(_FilterScanner):
     def __init__(self, wm: WMTables, vt: VerifyTables, *, tile: int = DEFAULT_TILE):
