@@ -58,3 +58,14 @@ def test_cli_stream_requires_patterns(corpus_files):
     with pytest.raises(SystemExit):
         cli.main(["--stream", "--text", tpath, "--m", "8", "--p-size", "10",
                   "--alphabet", "4"])
+
+
+def test_cli_per_pattern(corpus_files, tmp_path, capsys):
+    tpath, ppath, truth, _ = corpus_files
+    out = tmp_path / "per.npy"
+    cli.main(["--text", tpath, "--patterns", ppath, "--m", "8",
+              "--alphabet", "4", "--algo", "fast", "--backend", "xla",
+              "--per-pattern", str(out), "--json"])
+    r = _last_json(capsys)
+    per = np.load(out)
+    assert per.sum() == r["matches"] == truth

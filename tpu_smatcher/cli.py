@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--positions", metavar="OUT.npy",
                      help="also write match start positions (fast engine, "
                           "single device) to a .npy file")
+    run.add_argument("--per-pattern", metavar="OUT.npy",
+                     help="also write per-pattern match-start counts "
+                          "((p,) int64, sums to the total; single device, "
+                          "in-memory corpus) to a .npy file")
     prof = p.add_argument_group("profiling")
     prof.add_argument("--profile", metavar="LOGDIR",
                       help="record a jax.profiler trace of the timed scans "
@@ -256,6 +260,9 @@ def run_engine(name, text, pats, args):
                 count = scanner.count_file(args.text, chunk=args.chunk)
                 times.append(time.time() - t0)
             t_scan = min(times)
+        if args.per_pattern:
+            print("--per-pattern skipped: needs an in-memory corpus "
+                  "(drop --stream)", file=sys.stderr)
         if args.positions:
             try:
                 pos = scanner.positions_file(args.text, chunk=args.chunk)
@@ -342,6 +349,18 @@ def run_engine(name, text, pats, args):
             np.save(args.positions, pos)
             if not args.json:
                 print(f"[{name:5s}] {len(pos)} match positions -> {args.positions}")
+    if args.per_pattern:
+        try:
+            if args.devices > 1:
+                raise NotImplementedError("--per-pattern runs single-device")
+            per = scanner.count_per_pattern(tdev)
+        except (NotImplementedError, ValueError) as e:
+            print(f"--per-pattern skipped ({name}): {e}", file=sys.stderr)
+        else:
+            np.save(args.per_pattern, per)
+            if not args.json:
+                print(f"[{name:5s}] per-pattern counts (sum {per.sum()}) -> "
+                      f"{args.per_pattern}")
 
     return {
         "engine": name,
