@@ -47,6 +47,13 @@ FILTER_RB = 512          # filter grid block.  128 won on the materialized
                          # the slot budget is unaffected because extraction
                          # stays per SLOT_RB sub-block (slot_row); verified
                          # to fit VMEM through m=513 (5 context views)
+#: scoped-VMEM ceiling for the big flat kernels.  Mosaic's default 16 MB
+#: stack limit is 214 KB too small for rb=512 at 15 filter stages (the
+#: world192 sigma=128 p=8000 sweep cell); v5e has 128 MB of VMEM, so 64 MB
+#: leaves ample headroom for any (stage count, context views) the builders
+#: produce while still bounding runaway allocation.
+VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 SLOT_RB = 128            # slot-extraction sub-block: the 16-slot budget is
                          # calibrated per 16K positions (BLOCK_SLOTS) — at
                          # 32K blocks the measured m=16 BASELINE corpus has
@@ -570,6 +577,7 @@ def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
                                         jnp.int32),
                    jax.ShapeDtypeStruct((R // 4, LANES), jnp.int32)],
         interpret=interpret,
+        compiler_params=VMEM_LIMIT,
     )(rows, rows, *bitmaps, *weights, tril, triu)
     return slotmat.reshape((R // rb) * halves, LANES), words.reshape(-1)
 
@@ -658,6 +666,7 @@ def _exact_count_flat(text: jnp.ndarray, bitmap: jnp.ndarray, *, m: int,
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
         interpret=interpret,
+        compiler_params=VMEM_LIMIT,
     )(rows, rows, bitmap, w)
     return out[0, 0]
 
@@ -797,5 +806,6 @@ def filter_mask_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
         out_specs=pl.BlockSpec((rb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, LANES), jnp.int8),
         interpret=interpret,
+        compiler_params=VMEM_LIMIT,
     )(rows, rows, *bitmaps, *weights)
     return mask      # (R, 128); invalid positions already zeroed in-kernel
