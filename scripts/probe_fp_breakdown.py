@@ -85,7 +85,7 @@ def main():
     dt = steady(f, small)
     print(f"compact cap={cap}: {dt*1e3:.1f} ms", flush=True)
 
-    idxs, o = compact_mask(mask2d, caprows=cap, cap=cap, row_slots=8)
+    idxs, o, _ = compact_mask(mask2d, caprows=cap, cap=cap, row_slots=8)
     print(f"  overflow={int(np.asarray(o))}", flush=True)
 
     f = lambda: verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,

@@ -101,20 +101,44 @@ def test_engine_count_file(exact_case):
         os.unlink(path)
 
 
-def test_async_retry_adds_filter_stages(fp_case):
-    """An overflow retry must still return the exact count (via the sync
-    ladder) and bump the scanner's extra-stage count — bounded — so an
-    adversarial pattern set converges to a harder filter instead of
-    retrying every scan."""
-    text, pats, truth = fp_case
+def test_async_retry_adds_filter_stages():
+    """An FP-driven overflow retry must still return the exact count (via
+    the sync ladder) and bump the scanner's extra-stage count — bounded —
+    so an adversarial pattern set converges to a harder filter instead of
+    retrying every scan.  The corpus here is match-SPARSE (mean matches per
+    16K block far below the slot budget) so the bump branch, not the
+    match-dense switch, is exercised."""
+    ab = Alphabet.of_size(20)
+    text = datagen.generate_text(300_000, ab, seed=15)
+    pats = datagen.generate_patterns(text, 80, 12, ab, frac_present=0.2,
+                                     seed=16)
+    truth = datagen.count_matches(text, pats)
+    assert truth * 16384 / (len(text) - 11) <= 8     # sparse premise
     eng = make_fast(pats, backend="pallas", interpret=True)
     assert eng._k_extra == 0
     assert eng._async_retry(text) == truth        # exact count via ladder
-    assert eng._k_extra == 1
+    assert eng._k_extra == 1 and not eng._match_dense
     assert eng.count_async(text).result() == truth  # retraced, still exact
     for _ in range(6):
         eng._async_retry(text)
     assert eng._k_extra == 4                      # bounded
+    assert eng.count_async(text).result() == truth
+
+
+def test_async_retry_match_dense_switch(fp_case):
+    """A MATCH-driven overflow (true matches alone crowd the per-block
+    slots) must NOT bump the stage count — stages cannot reject matches;
+    each useless bump forces a full retrace — but switch the scanner's
+    async path to the dense mask-pipeline pass, which then counts exactly
+    in one dispatch with no further retries."""
+    text, pats, truth = fp_case
+    # fp_case is match-dense at 16K-block granularity by construction
+    assert truth * 16384 / (len(text) - pats.m + 1) > 8
+    eng = make_fast(pats, backend="pallas", interpret=True)
+    assert eng._async_retry(text) == truth
+    assert eng._match_dense and eng._k_extra == 0
+    f = eng.count_async(text)                     # dense pass, one dispatch
+    assert f.result() == truth
     assert eng.count_async(text).result() == truth
 
 

@@ -155,8 +155,8 @@ def test_slot_kernel_matches_mask_path():
                                             cap=eng.cap)
         mask2d = pf.filter_mask_pallas(t, ft.bitmaps[:k], m=ft.m, n=n,
                                        n_stages=k, interpret=True)
-        idxs_m, o_m = compact_mask(mask2d, caprows=eng.cap, cap=eng.cap,
-                                   row_slots=128)
+        idxs_m, o_m, _ = compact_mask(mask2d, caprows=eng.cap,
+                                      cap=eng.cap, row_slots=128)
         a = np.sort(np.asarray(idxs_s)[np.asarray(idxs_s) >= 0])
         b = np.sort(np.asarray(idxs_m)[np.asarray(idxs_m) >= 0])
         if not int(np.asarray(o_s)):

@@ -419,8 +419,8 @@ def compact_verify_retry(mask2d, tw, ft, *, cap, caprows, row_slots,
     # still fitting the cap — only a true cap excess should surface
     trials = [(tc, row_slots) for tc in caps] + [(cap, 128)]
     for trial_cap, row_slots in trials:
-        idxs, o = compact_mask(mask2d, caprows=min(caprows, trial_cap),
-                               cap=trial_cap, row_slots=row_slots)
+        idxs, o, _ = compact_mask(mask2d, caprows=min(caprows, trial_cap),
+                                  cap=trial_cap, row_slots=row_slots)
         c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
                       m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
                       n_starts=n_starts, slot_ok=ft.slot_ok)
@@ -441,10 +441,12 @@ def compact_mask(mask2d, *, caprows: int = 1 << 16, cap: int = DEFAULT_CAP,
     vs ~600ms for flat jnp.nonzero).
 
     mask2d: (R, 128) int8 from the Pallas filter (invalid positions zero).
-    Returns (idxs (cap,) candidate positions padded with -1, overflowed).
-    Overflow if more than `caprows` rows contain candidates, any row holds
-    more than `row_slots` candidates (raise row_slots= for dense-match
-    workloads), or total candidates exceed cap."""
+    Returns (idxs (cap,) candidate positions, densely packed then -1
+    padded, overflowed, n_cand — the TRUE candidate total, possibly >
+    cap, which gates verify_chunked's cond chunks).  Overflow if more than
+    `caprows` rows contain candidates, any row holds more than `row_slots`
+    candidates (raise row_slots= for dense-match workloads), or total
+    candidates exceed cap."""
     R = mask2d.shape[0]
     row_counts = jnp.sum(mask2d.astype(jnp.int32), axis=1)
     n_rows = jnp.sum(row_counts > 0, dtype=jnp.int32)
@@ -469,7 +471,7 @@ def compact_mask(mask2d, *, caprows: int = 1 << 16, cap: int = DEFAULT_CAP,
     idxs = jnp.where(sel_live, pos[jnp.minimum(sel, pos.shape[0] - 1)], -1)
     overflow = (jnp.int32(n_rows > caprows) | jnp.int32(row_ovf)
                 | jnp.int32(n_cand > cap))
-    return idxs, overflow
+    return idxs, overflow, n_cand
 
 
 @functools.partial(jax.jit, static_argnames=("slots", "cap"))
@@ -724,7 +726,10 @@ class FastScanner:
             fast_count_core, ft=ft, tile=tile, cap=cap))
         self._jdevice = None           # lazy: count_async's jitted scan
         self._jdevice_pallas = None
-        self._jdevice_k_extra = None
+        self._jdevice_key = None
+        #: async path switched to the dense mask-pipeline pass after a
+        #: MATCH-driven slot overflow (see _async_retry)
+        self._match_dense = False
         self._jdense = None            # lazy: _count_chunked's dense pass
         #: extra filter stages beyond the static budgets; bumped on async
         #: overflow (_async_retry), so a pattern set whose correlated-stage
@@ -810,15 +815,23 @@ class FastScanner:
         n = piece.shape[0]
         mask2d = pf.filter_mask_pallas(piece, ft.bitmaps[:k], m=ft.m, n=n,
                                        n_stages=k, interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=min(caprows, mask2d.shape[0]),
-                               cap=self.cap, row_slots=row_slots)
+        idxs, o, n_cand = compact_mask(mask2d,
+                                       caprows=min(caprows, mask2d.shape[0]),
+                                       cap=self.cap, row_slots=row_slots)
         tw = pf.words_view_pallas(piece, nw=words_len(n, ft.words),
                                   interpret=self.interpret)
-        verify = verify_matched_at if matched else verify_at
-        r = verify(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
-                   m=ft.m, words=ft.words, lmax=ft.lmax, eb=ft.eb,
-                   n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
-        return (idxs, r, o) if matched else (r, o)
+        if matched:
+            r = verify_matched_at(tw, idxs, ft.bucket_ids, ft.packed,
+                                  ft.bucket_fp2, m=ft.m, words=ft.words,
+                                  lmax=ft.lmax, eb=ft.eb,
+                                  n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+            return idxs, r, o
+        # cond-gated chunks: verify cost follows the TRUE candidate count
+        # (a full-cap verify_at costs the static cap even for a handful of
+        # candidates — measured 30 ms/scan on the match-dense world192
+        # p=8000 cell vs ~10 ms chunked)
+        c = verify_chunked(tw, idxs, n_cand, ft, n_starts=n - ft.m + 1)
+        return c, o
 
     def count_with_overflow(self, text) -> tuple[int, bool]:
         from tpu_smatcher.ops.common import check_count32
@@ -896,29 +909,46 @@ class FastScanner:
 
     def _ensure_jdevice(self):
         from tpu_smatcher.ops.pallas_filter import max_fast_m
-        if (self._jdevice is None
-                or self._jdevice_k_extra != self._k_extra
-                or self._jdevice_pallas != (
-                    self.backend == "pallas" and self.m <= max_fast_m())):
-            self._jdevice_pallas = (self.backend == "pallas"
-                                    and self.m <= max_fast_m())
-            self._jdevice_k_extra = self._k_extra
-            if self._jdevice_pallas:
-                self._jdevice = jax.jit(self._device_count)
-            else:
+        key = (self._k_extra, self._match_dense,
+               self.backend == "pallas" and self.m <= max_fast_m())
+        if self._jdevice is None or self._jdevice_key != key:
+            self._jdevice_key = key
+            self._jdevice_pallas = key[2]
+            if not self._jdevice_pallas:
                 self._jdevice = self._jit      # tiled XLA path
+            elif self._match_dense:
+                # match-dense corpora: the mask-path device pass (128 row
+                # slots, full cap) in ONE dispatch — the slot kernel's 16
+                # per-16K-block budget would overflow on every scan
+                self._jdevice = jax.jit(self._device_count_dense)
+            else:
+                self._jdevice = jax.jit(self._device_count)
         return self._jdevice
 
     def _async_retry(self, text) -> int:
         """ScanFuture overflow fallback: count exactly via the synchronous
-        ladder, then — if the overflow was FP-driven — add a filter stage
-        so later scans of this scanner filter harder instead of overflowing
-        again (one retrace per bump, bounded).  When the TRUE match count
-        alone crowds the cap (dense-MATCH corpora), extra stages cannot
-        help — matches pass every stage — so the bump is skipped and the
-        retry/chunked ladder keeps owning those corpora."""
+        ladder, then adapt the scanner so later scans stop overflowing:
+
+        - FP-driven overflow (false candidates beat the stage budget): add
+          a filter stage (`_k_extra`, bounded; one retrace per bump).
+        - MATCH-driven overflow (true matches alone crowd the per-block
+          slots — mean matches per 16K-position block near/over
+          BLOCK_SLOTS): extra stages cannot help, matches pass every
+          stage.  Bumping anyway would retrace up to 4 times for nothing
+          (measured: 10-60 s of recompiles on the world192 p=8000 sweep
+          cell whose 4k matches over 1.9 MB put ~34 matches in every
+          block).  Instead switch this scanner's async path to the dense
+          mask-pipeline device pass (one retrace, then every scan is a
+          single dispatch again)."""
         c = self._count_retry(text)
-        if not self.ft.exact and c <= self.cap // 4:
+        if self.ft.exact:
+            return c
+        n_starts = max(1, int(text.shape[0]) - self.m + 1)
+        from tpu_smatcher.ops.pallas_filter import BLOCK_SLOTS, SLOT_RB
+        mean_per_block = c * (SLOT_RB * 128) / n_starts
+        if mean_per_block > BLOCK_SLOTS // 2:
+            self._match_dense = True
+        elif c <= self.cap // 4:
             self._k_extra = min(self._k_extra + 1, 4)
         return c
 
@@ -1054,8 +1084,9 @@ class FastScanner:
             # matches (not candidates) can be row-dense: full row_slots;
             # caprows bounded by the piece's real row count keeps the
             # 128-slot compaction proportional to the piece, not the cap
-            idxs, o = compact_mask(mask2d, caprows=min(cap, mask2d.shape[0]),
-                                   cap=cap, row_slots=128)
+            idxs, o, _ = compact_mask(mask2d,
+                                      caprows=min(cap, mask2d.shape[0]),
+                                      cap=cap, row_slots=128)
             return idxs, o
         k = stages_for(ft, n, cap)
         idxs, matched, o = self._mask_verify(piece, k, caprows=cap,

@@ -327,8 +327,9 @@ class EngineFastPath:
         mask2d = _run_stages(ext, stages, tables, m=self.m,
                              sigma=self.sigma, n=n, mode="mask",
                              interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=min(self.caprows, self.cap),
-                               cap=self.cap, row_slots=self.row_slots)
+        idxs, o, _ = compact_mask(mask2d,
+                                  caprows=min(self.caprows, self.cap),
+                                  cap=self.cap, row_slots=self.row_slots)
         tw = words_view_pallas(ext, nw=words_len(n, ft.words),
                                interpret=self.interpret)
         c = verify_at(tw, idxs, ft.bucket_ids, ft.packed, ft.bucket_fp2,
@@ -422,8 +423,8 @@ class EngineFastPath:
         mask2d = _run_stages(text, stages, tables, m=self.m, sigma=self.sigma,
                              n=n, mode="mask", guard=exact,
                              interpret=self.interpret)
-        idxs, o = compact_mask(mask2d, caprows=self.caprows, cap=self.cap,
-                               row_slots=self.row_slots)
+        idxs, o, _ = compact_mask(mask2d, caprows=self.caprows,
+                                  cap=self.cap, row_slots=self.row_slots)
         if exact:
             pos = np.asarray(idxs)
             if bool(np.asarray(o)):

@@ -257,7 +257,7 @@ class DistributedPositions:
                 mask2d = pf.exact_mask_pallas(piece, ft.bitmaps[0], m=ft.m,
                                               sigma=ft.sigma, n=n,
                                               interpret=interpret)
-                idxs, o = compact_mask(mask2d,
+                idxs, o, _ = compact_mask(mask2d,
                                        caprows=min(cap, mask2d.shape[0]),
                                        cap=cap, row_slots=128)
                 matched = idxs >= 0
@@ -266,7 +266,7 @@ class DistributedPositions:
                 mask2d = pf.filter_mask_pallas(piece, ft.bitmaps[:kst],
                                                m=ft.m, n=n, n_stages=kst,
                                                interpret=interpret)
-                idxs, o = compact_mask(mask2d,
+                idxs, o, _ = compact_mask(mask2d,
                                        caprows=min(cap, mask2d.shape[0]),
                                        cap=cap, row_slots=128)
                 tw = pf.words_view_pallas(piece, nw=words_len(n, ft.words),
