@@ -134,6 +134,32 @@ def main():
     mstarts, mlens = meng.positions(mdev)
     check("mixed-length positions", int(mstarts.size), mtruth)
 
+    # per-pattern attribution histogram (sums to the total count)
+    ptext = datagen.generate_text(1 << 21, abd, seed=19)
+    ppats = datagen.generate_patterns(ptext, 50, 8, abd, frac_present=0.7,
+                                      seed=20)
+    pfast = make_fast(ppats)
+    per = pfast.count_per_pattern(jax.device_put(jnp.asarray(ptext)))
+    check("count_per_pattern sums to count", int(per.sum()),
+          datagen.count_matches(ptext, ppats))
+
+    # match-dense small corpus: true matches overflow the per-block slots;
+    # the scanner must switch to the dense pass (exact counts, no stage
+    # bumps) and keep counting exactly afterwards
+    datext = datagen.generate_text(1 << 21, Alphabet.of_size(20), seed=21)
+    dapats = datagen.generate_patterns(datext, 4000, 8,
+                                       Alphabet.of_size(20),
+                                       frac_present=0.9, seed=22)
+    datruth = datagen.count_matches(datext, dapats)
+    dafast = make_fast(dapats)
+    dadev = jax.device_put(jnp.asarray(datext))
+    c1 = dafast.count(dadev)
+    c2 = dafast.count(dadev)
+    check("match-dense count (x2, exact)", (c1, c2), (datruth, datruth))
+    if dafast._match_dense:
+        check("match-dense switch engaged (no stage bumps)",
+              dafast._k_extra, 0)
+
     print("ALL PASS" if not failures else f"FAILURES: {failures}", flush=True)
     sys.exit(1 if failures else 0)
 
