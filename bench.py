@@ -3,14 +3,18 @@
 (BASELINE.json: ">= 2 GB/s/chip AC scan with exact match parity", EST
 corpus, m=8-32, 10k patterns; sweep space /root/reference/execute.sh:8-16).
 
-Two tiers are measured, covering the full BASELINE m range:
+Three tiers are measured, covering the full BASELINE m range:
   - m=8:  the exact window-id tier (sigma^m <= 2^16)
+  - m=16: the fingerprint tier at the corpus that calibrated BLOCK_SLOTS
+          (pallas_filter.py) — a regression here would otherwise be
+          invisible to the driver
   - m=32: the fingerprint-filter + word-verify tier
 
 Prints ONE JSON line whose primary fields are the exact-tier scan
-({"metric", "value", "unit", "vs_baseline"}), with the fingerprint tier as
-additional fields (fp_m32_value / fp_m32_vs_baseline) so regressions on
-either tier are visible in the recorded BENCH_r*.json.  vs_baseline is
+({"metric", "value", "unit", "vs_baseline"}), with the fingerprint tiers as
+additional fields (fp_m16_value / fp_m16_vs_baseline, fp_m32_value /
+fp_m32_vs_baseline) so regressions on any tier are visible in the recorded
+BENCH_r*.json.  vs_baseline is
 value / 2e9 (the driver-set 2 GB/s/chip target).  Diagnostics on stderr.
 
 Methodology: queue `QUEUE` scans via count_async and fetch one result —
@@ -90,19 +94,20 @@ def main():
 
     n = int(os.environ.get("BENCH_N", 1 << 28))        # 256 MiB
     m = int(os.environ.get("BENCH_M", 8))
+    m_fp16 = int(os.environ.get("BENCH_M_FP16", 16))
     m_fp = int(os.environ.get("BENCH_M_FP", 32))
     p = int(os.environ.get("BENCH_P", 10_000))
     reps = int(os.environ.get("BENCH_REPS", 5))
 
     ab = Alphabet.dna()
-    log(f"bench: n={n} ({n/2**20:.0f} MiB) m={m}/{m_fp} p={p} "
+    log(f"bench: n={n} ({n/2**20:.0f} MiB) m={m}/{m_fp16}/{m_fp} p={p} "
         f"devices={devices}")
     text = datagen.generate_text(n, ab, seed=7)
     tdev = jax.device_put(jnp.asarray(text))
     nn = 1 << 22                      # correctness-gate prefix (4 MiB)
 
     results = {}
-    for tier, mm in (("exact", m), ("fp", m_fp)):
+    for tier, mm in (("exact", m), ("fp16", m_fp16), ("fp", m_fp)):
         pats = datagen.generate_patterns(text, p, mm, ab, frac_present=0.5,
                                          seed=8 if mm == m else 8 + mm)
         truth = datagen.count_matches(text[:nn], pats)
@@ -119,12 +124,15 @@ def main():
         results[tier] = (rate, dt, c)
 
     rate = results["exact"][0]
+    fp16_rate = results["fp16"][0]
     fp_rate = results["fp"][0]
     print(json.dumps({
         "metric": "ac_scan_throughput",
         "value": round(rate, 1),
         "unit": "bytes/s",
         "vs_baseline": round(rate / 2e9, 3),
+        "fp_m16_value": round(fp16_rate, 1),
+        "fp_m16_vs_baseline": round(fp16_rate / 2e9, 3),
         "fp_m32_value": round(fp_rate, 1),
         "fp_m32_vs_baseline": round(fp_rate / 2e9, 3),
     }))

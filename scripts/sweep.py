@@ -86,8 +86,25 @@ def main():
                     best = min(times)
                     # device (steady-state) rate: queue q scans, fetch one —
                     # small corpora are otherwise floored by the per-call
-                    # host round-trip (~30-40 ms over a tunneled link)
+                    # host round-trip (~30-40 ms over a tunneled link).
+                    # q scales until the queued device time is resolvable
+                    # (>= ~50 ms over the one-scan baseline): at q=9 the
+                    # subtraction cannot resolve sub-ms scans, and the
+                    # sub-8 MB cells were pure noise (BENCHMARKS.md r3).
+                    t0 = time.perf_counter()
+                    eng.count_async(tdev).result()
+                    t_one = time.perf_counter() - t0
                     q = 9
+                    while True:
+                        t0 = time.perf_counter()
+                        fs = [eng.count_async(tdev) for _ in range(q)]
+                        fs[-1].result()
+                        t_many = time.perf_counter() - t0
+                        dt = t_many - t_one
+                        if dt >= 0.05 or q >= 513:
+                            break
+                        q = min(513, max(2 * q,
+                                         int(q * 0.06 / max(dt, 1e-3))))
                     best_dev = None
                     for _ in range(args.reps):
                         t0 = time.perf_counter()
@@ -111,7 +128,7 @@ def main():
                            "bytes_per_s": round(n / best, 1),
                            "device_scan_s": round(best_dev, 5),
                            "device_bytes_per_s": round(n / best_dev, 1),
-                           "backend": backend}
+                           "queue": q, "backend": backend}
                     emit_jsonl(args.out, rec)
                     print(f"  {name} p={p_size} {eng_name:5s} "
                           f"{c} matches  {n/best/1e9:.3f} GB/s "

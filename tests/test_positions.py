@@ -100,6 +100,24 @@ def test_engine_positions_fp_tier():
         np.testing.assert_array_equal(eng.positions(text), want)
 
 
+def test_engine_positions_unbounded_dense():
+    """EngineFastPath.positions past the device cap must fall through to
+    the shared split-on-overflow pipeline and enumerate EVERYTHING — the
+    reference engines' column loops are unbounded (cuda_wm.cu:136-176).
+    Regression: raised OverflowError instead.  Covers both tiers."""
+    from tpu_smatcher.core.patterns import PatternSet
+    from tpu_smatcher.engines import make_engine
+    for sigma, m in ((4, 8), (20, 32)):           # exact tier / fp tier
+        ab = Alphabet.of_size(sigma)
+        text = np.zeros(6_000, np.uint8)          # every start matches
+        pats = PatternSet(np.zeros((1, m), np.uint8), ab)
+        eng = make_engine("wm", pats, interpret=True)
+        eng.fast_path.cap = 512                   # far below the matches
+        got = eng.positions(text)
+        np.testing.assert_array_equal(
+            got, np.arange(6_000 - m + 1, dtype=np.int64))
+
+
 def test_positions_file_streaming():
     """positions_file = positions of the whole file, streamed in (m-1)-halo
     pieces (including a boundary-straddling match and a piece-boundary

@@ -404,9 +404,14 @@ class EngineFastPath:
         return [f.result() for f in [self.count_async(t) for t in texts]]
 
     def positions(self, text) -> np.ndarray:
-        """Sorted start positions of all matching windows (cap-bounded; for
-        unbounded streaming enumeration use FastScanner.positions — the
-        match set is identical across engines)."""
+        """Sorted start positions of ALL matching windows — unbounded.
+
+        The single-dispatch path handles texts whose candidates fit the
+        device cap; past it (dense-match corpora — the reference's column
+        loops enumerate without bound, cuda/cuda_wm.cu:136-176) the scan
+        falls through to the shared split-on-overflow piece pipeline
+        (FastScanner.positions over the same tables — the match set is
+        identical by construction: same ft, exact verification)."""
         from tpu_smatcher.ops.common import check_count32
         from tpu_smatcher.ops.fast import verify_matched_at
         text = jnp.asarray(text, jnp.uint8)
@@ -426,12 +431,9 @@ class EngineFastPath:
         idxs, o, _ = compact_mask(mask2d, caprows=self.caprows,
                                   cap=self.cap, row_slots=self.row_slots)
         if exact:
-            pos = np.asarray(idxs)
             if bool(np.asarray(o)):
-                raise OverflowError(
-                    "match count exceeds the engine positions cap; raise "
-                    "cap=/row_slots= or use FastScanner.positions (unbounded "
-                    "streaming; the match set is identical)")
+                return self._fallback_scanner().positions(text)
+            pos = np.asarray(idxs)
             return np.sort(pos[pos >= 0]).astype(np.int64)
         tw = words_view_pallas(text, nw=words_len(n, ft.words),
                                interpret=self.interpret)
@@ -440,9 +442,6 @@ class EngineFastPath:
             words=ft.words, lmax=ft.lmax, eb=ft.eb, n_starts=n - ft.m + 1,
             slot_ok=ft.slot_ok)
         if bool(np.asarray(o)):
-            raise OverflowError(
-                "candidate cap exceeded; raise cap=/row_slots= or use "
-                "FastScanner.positions (unbounded streaming; the match set "
-                "is identical)")
+            return self._fallback_scanner().positions(text)
         pos = np.asarray(idxs)[np.asarray(matched)]
         return np.sort(pos[pos >= 0]).astype(np.int64)
