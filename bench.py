@@ -26,6 +26,7 @@ per-scan = (time of (dispatch + k scans + fetch) -
 """
 import json
 import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 import sys
 import time
 
@@ -107,19 +108,26 @@ def main():
     nn = 1 << 22                      # correctness-gate prefix (4 MiB)
 
     results = {}
-    for tier, mm in (("exact", m), ("fp16", m_fp16), ("fp", m_fp)):
-        pats = datagen.generate_patterns(text, p, mm, ab, frac_present=0.5,
+    # the BASELINE configs: m=8/16/32 at the flagship p=10k, plus the
+    # large-pattern-set family (WM 10k-100k patterns, BASELINE.md /
+    # main.c:372-373 p <= 100,000) whose WIDE filter stages (> 2^16 bits)
+    # would otherwise be invisible to the driver
+    tiers = (("exact", m, p), ("fp16", m_fp16, p), ("fp", m_fp, p),
+             ("fp32_p30k", m_fp, 30_000), ("fp32_p100k", m_fp, 100_000))
+    for tier, mm, pp in tiers:
+        pats = datagen.generate_patterns(text, pp, mm, ab, frac_present=0.5,
                                          seed=8 if mm == m else 8 + mm)
         truth = datagen.count_matches(text[:nn], pats)
         eng = make_fast(pats)
         got = eng.count(tdev[:nn])
         if got != truth:
-            log(f"CORRECTNESS FAILURE m={mm}: {got} != {truth}")
+            log(f"CORRECTNESS FAILURE m={mm} p={pp}: {got} != {truth}")
             results[tier] = (0.0, 0.0, 0)
             continue
         eng.count_async(tdev).result()             # warm/compile full shape
-        rate, dt, c = steady_rate(eng, tdev, n, reps)
-        log(f"m={mm} ({tier}): count={c} per-scan={dt*1e3:.1f}ms "
+        rate, dt, c = steady_rate(eng, tdev, n,
+                                  reps if pp <= 10_000 else max(2, reps // 2))
+        log(f"m={mm} p={pp} ({tier}): count={c} per-scan={dt*1e3:.1f}ms "
             f"rate={rate/1e9:.2f} GB/s")
         results[tier] = (rate, dt, c)
 
@@ -135,6 +143,8 @@ def main():
         "fp_m16_vs_baseline": round(fp16_rate / 2e9, 3),
         "fp_m32_value": round(fp_rate, 1),
         "fp_m32_vs_baseline": round(fp_rate / 2e9, 3),
+        "fp_m32_p30k_value": round(results["fp32_p30k"][0], 1),
+        "fp_m32_p100k_value": round(results["fp32_p100k"][0], 1),
     }))
 
 

@@ -20,6 +20,8 @@ Usage: python scripts/ladder.py [--n BYTES] [--m M] [--p P] [--sigma S]
 Rungs `engine` and `fast` need the TPU (skipped elsewhere); every rung is
 count-parity-checked against datagen.count_matches.
 """
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 import argparse
 import json
 import sys

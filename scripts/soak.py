@@ -6,6 +6,8 @@ on both backends, a random engine, the native CPU oracle, and periodic
 CPU; ~15 min.  Exits loudly on any mismatch.
 """
 import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 import jax; jax.config.update("jax_platforms", "cpu")

@@ -14,6 +14,8 @@ p_size) to the output file.
   python scripts/sweep.py --full          # reference-size corpora
   python scripts/sweep.py --engines fast ac --out sweep.jsonl
 """
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
 import argparse
 import os

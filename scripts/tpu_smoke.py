@@ -5,6 +5,8 @@ tiers, all five engines, positions, streaming file scans, checkpoint
 round-trip, and the distributed counter on a mesh of the available chips.
 Prints PASS/FAIL per check and exits non-zero on any failure.
 """
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
 import os
 import sys
@@ -142,6 +144,40 @@ def main():
     per = pfast.count_per_pattern(jax.device_put(jnp.asarray(ptext)))
     check("count_per_pattern sums to count", int(per.sum()),
           datagen.count_matches(ptext, ppats))
+
+    # ADVERSARIAL fp-collision set: d below satisfies sum(d_j * mult^j) == 0
+    # mod 2^16 for ALL THREE base fingerprint multipliers (found by the
+    # meet-in-the-middle search in scripts/find_fp_collision.py, verified
+    # against ops.fast._fp_keys_np) — a window x passes EVERY derived filter
+    # stage of pattern x+d, so extra stages can never filter it.  Planting
+    # x windows densely makes every scan overflow the per-block slots until
+    # the scanner's terminal adaptation (the dense mask pass) engages; the
+    # battery asserts counts stay exact on every scan AND the retrace
+    # counter STOPS growing (convergence, not per-scan retries).
+    FP_COLLISION_D = np.array([0, 1, 0, -3, 1, 2, -3, 2, 2, -3, 2, 1,
+                               -3, 0, 1, 0], np.int64)
+    arng = np.random.default_rng(23)
+    lo, hi = np.maximum(0, -FP_COLLISION_D), np.minimum(3, 3 - FP_COLLISION_D)
+    xs = np.stack([arng.integers(lo, hi + 1) for _ in range(300)]
+                  ).astype(np.uint8)                       # planted windows
+    ys = (xs + FP_COLLISION_D[None, :]).astype(np.uint8)   # the PATTERNS
+    atext = np.asarray(datagen.generate_text(1 << 21, abd, seed=24)).copy()
+    # plant x windows every 96 bytes: ~170 false candidates per 16K block
+    # (>> BLOCK_SLOTS), none of them matches
+    for i, s in enumerate(range(0, (1 << 21) - 16, 96)):
+        atext[s:s + 16] = xs[i % len(xs)]
+    apats = PatternSet(ys, abd)
+    atruth = int(datagen.count_matches(atext, apats))
+    afast = make_fast(apats)
+    adev = jax.device_put(jnp.asarray(atext))
+    counts = [afast.count(adev) for _ in range(8)]
+    check("adversarial fp-collision counts (8 scans, exact)",
+          counts, [atruth] * 8)
+    retr_mid = afast._retries
+    for _ in range(3):
+        afast.count(adev)
+    check("adversarial fp-collision converged (no retraces in steady "
+          f"state; total={afast._retries})", afast._retries, retr_mid)
 
     # match-dense small corpus: true matches overflow the per-block slots;
     # the scanner must switch to the dense pass (exact counts, no stage

@@ -40,12 +40,27 @@ def fastpath_positions(scanner, text):
     return fp.positions(text)
 
 
+def _attr_fastpath(scanner):
+    """The engine's device-attribution scanner when available: the active
+    fast path's fallback FastScanner over the SAME tables (identical match
+    set and original-id space — ft is built from the engine's own codes)."""
+    fp = active_fastpath(scanner)
+    if fp is None:
+        return None
+    fs = fp._fallback_scanner()
+    return fs if fs._has_attr_tables() else None
+
+
 def scanner_matches(scanner, text):
     """(positions, pattern_ids): every match start plus the id of the
-    matching pattern (smallest id on duplicate patterns).  Positions come
-    from the scanner's unbounded enumeration; attribution is host-side
-    (core.datagen.match_ids) — the reference's verify loops identify the
-    pattern but only count it (wu/wu.c:184-201)."""
+    matching pattern (smallest id on duplicate patterns).  With an active
+    TPU fast path the ids come from the DEVICE verify stage
+    (fast.verify_attr_at — the pid the reference's verify loops compute
+    but only count, wu/wu.c:184-201); otherwise positions are enumerated
+    and attribution is host-side (core.datagen.match_ids)."""
+    fs = _attr_fastpath(scanner)
+    if fs is not None:
+        return fs.matches(text)
     codes = getattr(scanner, "pattern_codes", None)
     if codes is None:
         raise ValueError(
@@ -66,7 +81,11 @@ def scanner_count_per_pattern(scanner, text) -> np.ndarray:
     the same attribution matches() reports.  Totals sum to count(text).
     The reference identifies the pattern in its verify loops but only
     counts the total (wu/wu.c:184-201); this makes the per-pattern
-    breakdown a first-class output."""
+    breakdown a first-class output.  With an active TPU fast path the
+    histogram is aggregated ON DEVICE (FastScanner.count_per_pattern)."""
+    fs = _attr_fastpath(scanner)
+    if fs is not None:
+        return fs.count_per_pattern(text)
     codes = getattr(scanner, "pattern_codes", None)
     if codes is None:
         raise ValueError(

@@ -50,6 +50,11 @@ FP_MULTS = (0x9E37, 0x6A09, 0xB2D1, 0x85EB, 0xC2B3,
 #: stage_bits^-3: with two bases, fp0/fp1 colliding mod stage_bits makes a
 #: window pass EVERY stage, and at p=10k that alone would eat the candidate
 #: budget.  Odd constants avoid mod-2^k degeneracies.
+#: For WIDE stages (stage_bits > 2^16, large pattern sets) the (0,0)/(1,0)
+#: head is skipped: key 0 = fp0 alone only reaches the low 2^16 bits of a
+#: wider bitmap (fp0 < 2^16), and (1,0) only 2^17 — every wide stage needs
+#: a multiplier C >= 2^(b-16) so fp0 + C*fp1 covers all 2^b values.  All
+#: constants below the head satisfy that through b = 26.
 STAGE_CD = ((0, 0), (1, 0),
             (0x2FE9, 0x33C9), (0xA909, 0xBA4D), (0xF4D9, 0xE2A9),
             (0x073F, 0x26A7), (0xA38D, 0x1817), (0xA017, 0xBB4B),
@@ -121,6 +126,25 @@ class FastTables:
                              # slightly denser — measured 0.48 vs 0.46 at
                              # p=10k/16384 bits — and the per-block slot
                              # budget must use the real prefix product)
+    stage_cd: tuple = ()     # the (C, D) derivation constants actually used
+                             # per built stage: STAGE_CD for 16-bit stages,
+                             # STAGE_CD[2:] for wide ones (see STAGE_CD)
+    # device-side pattern-id attribution (count_per_pattern/matches — the
+    # reference's verify loops identify the pattern but only count it,
+    # wu/wu.c:184-201):
+    orig_ids: object = None  # (p_dedup,) int32 device: internal (deduped)
+                             # id -> smallest ORIGINAL pattern id
+    wid_pids: object = None  # exact tier: (nbits,) int32 device: window id
+                             # -> smallest original pattern id (-1 = none)
+    n_orig: int = 0          # original pattern count (histogram length)
+
+    def cd(self, k: int) -> tuple:
+        """(C, D) constants of the first k stages (prefix of stage_cd; the
+        STAGE_CD head for tables built before the field existed).  Deep
+        tuples: the result is a static jit argument, and checkpoint
+        round-trips restore stage_cd as JSON lists."""
+        base = self.stage_cd or STAGE_CD
+        return tuple((int(c), int(d)) for c, d in base[:k])
 
 
 def fp_rate(ft: FastTables, k: int, cf: float = STAGE_CF) -> float:
@@ -141,6 +165,21 @@ def fp_rate(ft: FastTables, k: int, cf: float = STAGE_CF) -> float:
     for s in range(min(k, len(fills))):
         prod *= fills[s]
     return min(prod * cf, 1.0)
+
+
+def cap_for(ft: FastTables) -> int:
+    """Default candidate cap, scaled to the pattern count: reference-corpus
+    pattern sets are extracted FROM the text (execute.sh), so ~every
+    pattern is present and matches alone approach p — at p = 100k
+    (main.c:372-373) a fixed 2^16 cap overflows on every scan of a big
+    corpus and the retry ladder dominates (measured 1.6 s/scan vs 0.4 s
+    filter-bound at n = 2^27).  4x headroom over p, bounded to 2^20
+    (verify cost follows the TRUE candidate count via verify_chunked, so a
+    larger static cap costs only compaction-scatter size)."""
+    if ft.exact or ft.packed is None:
+        return DEFAULT_CAP
+    p = int(ft.packed.shape[0])
+    return max(DEFAULT_CAP, min(1 << 20, 1 << (4 * p - 1).bit_length()))
 
 
 def stages_for(ft: FastTables, n: int, cap: int) -> int:
@@ -192,17 +231,32 @@ def stages_for_block(ft: FastTables, block_positions: int,
     return k
 
 
-def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None) -> FastTables:
+def build_fast(patterns: np.ndarray, sigma: int, *,
+               n_stages: int | None = None,
+               stage_bits: int | None = None) -> FastTables:
+    """stage_bits= overrides the measured cost model (tests force WIDE
+    stages — > 2^16 bits — on pattern sets too small to trigger them)."""
     patterns = np.asarray(patterns, np.uint8)
+    n_orig = patterns.shape[0]
     if exact_wid_supported(sigma, patterns.shape[1]):
         m0 = patterns.shape[1]
         nbits = max(4096, 1 << (m0 * _bits_per_char(sigma)))
-        bm = pack_bitmap(_wid_keys_np(patterns, sigma), nbits)
+        keys = _wid_keys_np(patterns, sigma)
+        bm = pack_bitmap(keys, nbits)
+        # window id -> smallest original pattern id (descending-id writes:
+        # the last write per key wins)
+        wid_pids = np.full((nbits,), -1, np.int32)
+        order = np.argsort(-np.arange(n_orig))
+        wid_pids[keys[order]] = order.astype(np.int32)
         return FastTables(True, m0, sigma, 1,
-                          (jnp.asarray(bm),), None, 0, None, 0)
+                          (jnp.asarray(bm),), None, 0, None, 0,
+                          wid_pids=jnp.asarray(wid_pids), n_orig=n_orig)
     # duplicate patterns cannot change the count (>=1 occurrence per window)
-    # and would defeat the per-bucket fp2 uniqueness below — drop them
-    patterns = np.unique(patterns, axis=0)
+    # and would defeat the per-bucket fp2 uniqueness below — drop them,
+    # but keep each deduped row's smallest original id for attribution
+    patterns, inv = np.unique(patterns, axis=0, return_inverse=True)
+    orig_ids = np.full((patterns.shape[0],), n_orig, np.int64)
+    np.minimum.at(orig_ids, inv.reshape(-1), np.arange(n_orig))
     p, m = patterns.shape
 
     # All filter stages are DERIVED from the three base fingerprints via
@@ -215,33 +269,48 @@ def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None)
     # (B=4, fill 0.46, 13 stages) over the old 32768x8-stage layout — same
     # filtering, ~20% fewer gathers and 5 fewer MXU fingerprint passes.
     fps = [_fp_keys_np(patterns, FP_MULTS[s]) for s in range(3)]
+
+    def key0_for(sb):
+        # the fill of stage 0 at sb bits: 16-bit tables test fp0 directly;
+        # WIDE tables (> 2^16 bits — large pattern sets saturate the 16-bit
+        # space, the reference takes p up to 100,000: main.c:372-373) use
+        # the triple-mixed head of STAGE_CD[2:] (fp0 alone cannot reach
+        # bits >= 2^16)
+        if sb <= BITMAP_BITS:
+            return fps[0] & (sb - 1)
+        C, D = STAGE_CD[2]
+        return (fps[0] + C * fps[1] + D * fps[2]) & (sb - 1)
+
     C_ALU, C_GATHER = 0.3, 1.0
-    stage_bits, density, best_cost = 0, 1.0, None
-    for sb in (4096, 8192, 16384, 32768, 65536):
-        bm0 = pack_bitmap(fps[0] & (sb - 1), sb)
-        d = float(np.count_nonzero(np.unpackbits(bm0.view(np.uint8)))) / sb
-        if d >= 0.98:
-            continue
-        cost = (C_ALU + (sb // 4096) * C_GATHER) / -math.log2(d)
-        if best_cost is None or cost < best_cost:
-            stage_bits, density, best_cost = sb, d, cost
-    if stage_bits == 0:                 # p ~ 65536 patterns: take the widest
-        stage_bits = BITMAP_BITS
-        bm0 = pack_bitmap(fps[0] & (stage_bits - 1), stage_bits)
-        density = float(np.count_nonzero(
-            np.unpackbits(bm0.view(np.uint8)))) / stage_bits
+    if stage_bits is None:
+        stage_bits, density, best_cost = 0, 1.0, None
+        for sb in (4096, 8192, 16384, 32768, 65536, 131072, 262144):
+            bm0 = pack_bitmap(key0_for(sb), sb)
+            d = float(np.count_nonzero(
+                np.unpackbits(bm0.view(np.uint8)))) / sb
+            if d >= 0.98:
+                continue
+            cost = (C_ALU + (sb // 4096) * C_GATHER) / -math.log2(d)
+            if best_cost is None or cost < best_cost:
+                stage_bits, density, best_cost = sb, d, cost
+        if stage_bits == 0:             # p ~ 2^18 patterns: take the widest
+            stage_bits = 262144
+    bm0 = pack_bitmap(key0_for(stage_bits), stage_bits)
+    density = float(np.count_nonzero(
+        np.unpackbits(bm0.view(np.uint8)))) / stage_bits
+    cd_table = STAGE_CD if stage_bits <= BITMAP_BITS else STAGE_CD[2:]
 
     # build enough stages for the worst supported scan (n = 2^31 starts,
     # candidate budget DEFAULT_CAP/4, measured stage correlation STAGE_CF);
     # stages_for picks the prefix to apply
     need = (math.log(max(DEFAULT_CAP / 4 / (1 << 31) / STAGE_CF, 1e-12))
             / math.log(density)) if 0 < density < 1 else 1
-    k_build = int(min(len(STAGE_CD), max(3, math.ceil(need) + 1)))
+    k_build = int(min(len(cd_table), max(3, math.ceil(need) + 1)))
     smask = stage_bits - 1
     bitmaps = []
     stage_fills = []
     for s in range(k_build):
-        C, D = STAGE_CD[s]
+        C, D = cd_table[s]
         key = (fps[0] + C * fps[1] + D * fps[2]) & smask
         bm_s = pack_bitmap(key, stage_bits)
         stage_fills.append(float(np.count_nonzero(
@@ -281,7 +350,9 @@ def build_fast(patterns: np.ndarray, sigma: int, *, n_stages: int | None = None)
                       tuple(bitmaps), jnp.asarray(bucket.reshape(-1)), lmax,
                       jnp.asarray(packed), packed.shape[1], eb, density,
                       jnp.asarray(bucket_fp2.reshape(-1)), slot_ok, stage_bits,
-                      tuple(stage_fills))
+                      tuple(stage_fills), tuple(cd_table[:k_build]),
+                      orig_ids=jnp.asarray(orig_ids.astype(np.int32)),
+                      n_orig=n_orig)
 
 
 # ---------------------------------------------------------------------------
@@ -343,17 +414,22 @@ def fast_count_core(text: jnp.ndarray, ft: FastTables, *, tile: int = DEFAULT_TI
 
         smask = ft.stage_bits - 1
         n_st = ft.n_stages
+        cd = ft.cd(n_st)
         fp0 = _fp_keys(chunk, tile, m, FP_MULTS[0])
         fp1 = (_fp_keys(chunk, tile, m, FP_MULTS[1])
-               if n_st > 1 or ft.eb else None)
-        fp2 = _fp_keys(chunk, tile, m, FP_MULTS[2]) if n_st > 2 else None
-        cand = bitmap_test(ft.bitmaps[0], fp0 & smask) == 1
-        for s in range(1, n_st):
-            C, D = STAGE_CD[s]
-            key = fp0 + C * fp1
+               if ft.eb or any(c for c, _ in cd) else None)
+        fp2 = (_fp_keys(chunk, tile, m, FP_MULTS[2])
+               if any(d for _, d in cd) else None)
+        cand = None
+        for s in range(n_st):
+            C, D = cd[s]
+            key = fp0
+            if C:
+                key = key + C * fp1
             if D:
                 key = key + D * fp2
-            cand &= bitmap_test(ft.bitmaps[s], key & smask) == 1
+            hit = bitmap_test(ft.bitmaps[s], key & smask) == 1
+            cand = hit if cand is None else cand & hit
         cand &= valid
         n_cand = jnp.sum(cand, dtype=jnp.int32)
         idxs = nonzero_scatter(cand, cap, tile + m - 1)
@@ -535,14 +611,27 @@ def verify_chunked(tw, idxs, n_cand, ft: FastTables, *, n_starts: int,
         verify_at, bucket_ids=ft.bucket_ids, packed=ft.packed,
         bucket_fp2=ft.bucket_fp2, m=ft.m, words=ft.words, lmax=ft.lmax,
         eb=ft.eb, n_starts=n_starts, slot_ok=ft.slot_ok)
-    if chunks <= 1 or cap % chunks != 0:
+    if chunks <= 1 or cap < 2 * (cap // chunks):
         return verify(tw, idxs)
-    cs = cap // chunks
-    c = verify(tw, idxs[:cs])
-    for ci in range(1, chunks):
-        c = c + jax.lax.cond(n_cand > ci * cs,
-                             lambda s=ci * cs: verify(tw, idxs[s:s + cs]),
+    # chunk sizes grow GEOMETRICALLY past the base granularity: p-scaled
+    # caps (cap_for, up to 2^20) would need 64 equal 16K chunks — each a
+    # compiled cond branch (minutes of XLA compile) — while doubling keeps
+    # the fine granularity where candidate counts usually land and covers
+    # any cap in ~log2 branches
+    cs0 = cap // chunks
+    sizes, s, nxt = [cs0], cs0, cs0
+    while s < cap:
+        sz = min(nxt, cap - s)
+        sizes.append(sz)
+        s += sz
+        nxt *= 2
+    c = verify(tw, idxs[:cs0])
+    s = cs0
+    for sz in sizes[1:]:
+        c = c + jax.lax.cond(n_cand > s,
+                             lambda s=s, sz=sz: verify(tw, idxs[s:s + sz]),
                              lambda: jnp.int32(0))
+        s += sz
     return c
 
 
@@ -556,9 +645,52 @@ def verify_matched_at(text_words, idxs, bucket_ids, packed, bucket_fp2, *, m,
                            n_starts=n_starts, slot_ok=slot_ok)
 
 
+@functools.partial(jax.jit, static_argnames=("m", "words", "lmax", "eb",
+                                              "n_starts", "slot_ok"))
+def verify_attr_at(text_words, idxs, bucket_ids, packed, bucket_fp2, *, m,
+                   words, lmax, eb, n_starts, slot_ok=False):
+    """((cap,) match mask, (cap,) internal pattern id or -1): verification
+    with pattern attribution — the pid the verify loop already selects,
+    exposed instead of thrown away (the reference identifies the pattern in
+    its verify loops but only counts it, wu/wu.c:184-201)."""
+    return _verify_matched(text_words, idxs, bucket_ids, packed, bucket_fp2,
+                           m=m, words=words, lmax=lmax, eb=eb,
+                           n_starts=n_starts, slot_ok=slot_ok,
+                           return_pid=True)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "sigma"))
+def _exact_attr(piece, idxs, wid_pids, *, m, sigma):
+    """(cap,) smallest-original-pattern id per matched idx (-1 padding) for
+    the exact tier: recompute the packed window id at each match position
+    (m <= 16 byte gathers over the candidate set only) and look it up in
+    the wid -> pid value table."""
+    live = idxs >= 0
+    idc = jnp.clip(idxs, 0, jnp.maximum(piece.shape[0] - m, 0))
+    bits = _bits_per_char(sigma)
+    key = jnp.zeros(idxs.shape, jnp.int32)
+    t32 = piece.astype(jnp.int32)
+    for i in range(m):
+        key = (key << bits) | t32[idc + i]
+    pid = wid_pids[jnp.clip(key, 0, wid_pids.shape[0] - 1)]
+    return jnp.where(live, pid, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_orig",))
+def _hist_delta(pids, *, n_orig):
+    """(n_orig,) int32 histogram of non-negative pids (a per-piece delta;
+    negatives — unmatched slots — are dropped by the guarded scatter)."""
+    idx = jnp.where(pids >= 0, pids, n_orig)
+    return jnp.zeros((n_orig,), jnp.int32).at[idx].add(1, mode="drop")
+
+
 def _verify_matched(text_words, idxs, bucket_ids, packed, bucket_fp2, *, m,
-                    words, lmax, eb, n_starts, slot_ok=False):
+                    words, lmax, eb, n_starts, slot_ok=False,
+                    return_pid=False):
     """Exact verification at candidate positions (idxs padded with -1).
+    return_pid=True also returns the matching pattern's INTERNAL (deduped)
+    id per candidate (-1 where unmatched) — each window matches at most
+    one deduped equal-length pattern, so the id is unique.
 
     Gathers words+1 aligned int32 words per candidate from the text's word
     view (vs m byte gathers), shift-combines them into the window's packed
@@ -618,25 +750,37 @@ def _verify_matched(text_words, idxs, bucket_ids, packed, bucket_fp2, *, m,
             found |= hit
         pid = bucket_ids[key * lmax + slot]
         ok = live & found & (pid >= 0)
-        return ok & full_eq(jnp.maximum(pid, 0))
+        matched = ok & full_eq(jnp.maximum(pid, 0))
+        if return_pid:
+            return matched, jnp.where(matched, pid, -1)
+        return matched
 
     matched = jnp.zeros((cap,), bool)
+    sel_pid = jnp.full((cap,), -1, jnp.int32)
     for l in range(lmax):
         pid = bucket_ids[key * lmax + l]
         ok = live & (pid >= 0) & ~matched
-        matched |= ok & full_eq(jnp.maximum(pid, 0))
+        hit = ok & full_eq(jnp.maximum(pid, 0))
+        matched |= hit
+        if return_pid:
+            sel_pid = jnp.where(hit, pid, sel_pid)
+    if return_pid:
+        return matched, sel_pid
     return matched
 
 
 @functools.partial(jax.jit, static_argnames=("m", "sigma", "exact", "cap",
                                              "n_stages", "words", "lmax",
-                                             "eb", "slot_ok", "stage_bits"))
+                                             "eb", "slot_ok", "stage_bits",
+                                             "cd", "attr"))
 def _positions_piece_xla(piece, bitmaps, bucket_ids, packed, bucket_fp2, *,
                          m, sigma, exact, cap, n_stages, words, lmax, eb,
-                         slot_ok, stage_bits):
+                         slot_ok, stage_bits, cd=None, attr=False):
     """Portable (no-Pallas) per-piece positions: (idxs (cap,) int32 with -1
-    padding, overflow).  All window starts of `piece` are owned
-    (n_starts = len - m + 1); the caller offsets by the piece base."""
+    padding, overflow); attr=True (fp tier only) additionally returns the
+    INTERNAL matching-pattern id per idx: (idxs, pids, overflow).  All
+    window starts of `piece` are owned (n_starts = len - m + 1); the
+    caller offsets by the piece base."""
     n = piece.shape[0]
     n_starts = n - m + 1
     if exact:
@@ -644,18 +788,22 @@ def _positions_piece_xla(piece, bitmaps, bucket_ids, packed, bucket_fp2, *,
         cand = bitmap_test(bitmaps[0], keys) == 1
     else:
         smask = stage_bits - 1
+        cd = cd or STAGE_CD[:n_stages]
         fp0 = _fp_keys(piece, n_starts, m, FP_MULTS[0])
         fp1 = (_fp_keys(piece, n_starts, m, FP_MULTS[1])
-               if n_stages > 1 or eb else None)
+               if eb or any(c for c, _ in cd) else None)
         fp2 = (_fp_keys(piece, n_starts, m, FP_MULTS[2])
-               if n_stages > 2 else None)
-        cand = bitmap_test(bitmaps[0], fp0 & smask) == 1
-        for s in range(1, n_stages):
-            C, D = STAGE_CD[s]
-            key = fp0 + C * fp1
+               if any(d for _, d in cd) else None)
+        cand = None
+        for s in range(n_stages):
+            C, D = cd[s]
+            key = fp0
+            if C:
+                key = key + C * fp1
             if D:
                 key = key + D * fp2
-            cand &= bitmap_test(bitmaps[s], key & smask) == 1
+            hit = bitmap_test(bitmaps[s], key & smask) == 1
+            cand = hit if cand is None else cand & hit
     n_cand = jnp.sum(cand, dtype=jnp.int32)
     idxs = nonzero_scatter(cand, cap, n_starts)
     live = idxs < n_starts
@@ -667,6 +815,13 @@ def _positions_piece_xla(piece, bitmaps, bucket_ids, packed, bucket_fp2, *,
         t = jnp.zeros((nw * 4,), jnp.uint8).at[:n].set(piece)
         t4 = t.astype(jnp.int32).reshape(nw, 4)
         tw = t4[:, 0] | (t4[:, 1] << 8) | (t4[:, 2] << 16) | (t4[:, 3] << 24)
+        if attr:
+            matched, pid = _verify_matched(
+                tw, idxs, bucket_ids, packed, bucket_fp2, m=m, words=words,
+                lmax=lmax, eb=eb, n_starts=n_starts, slot_ok=slot_ok,
+                return_pid=True)
+            return (jnp.where(matched, idxs, -1),
+                    jnp.where(matched, pid, -1), jnp.int32(n_cand > cap))
         matched = _verify_matched(tw, idxs, bucket_ids, packed, bucket_fp2,
                                   m=m, words=words, lmax=lmax, eb=eb,
                                   n_starts=n_starts, slot_ok=slot_ok)
@@ -707,12 +862,13 @@ class FastScanner:
     (portable jnp path, used on CPU), or "auto"."""
 
     def __init__(self, ft: FastTables, *, tile: int = DEFAULT_TILE,
-                 cap: int = DEFAULT_CAP, caprows: int = 1 << 16,
+                 cap: int | None = None, caprows: int = 1 << 16,
                  row_slots: int = ROW_SLOTS, backend: str = "auto",
                  interpret: bool = False):
         self.ft = ft
         self.tile = tile
-        self.cap = cap
+        self.cap = cap_for(ft) if cap is None else cap
+        cap = self.cap
         self.caprows = caprows
         self.row_slots = row_slots
         self.m = ft.m
@@ -731,6 +887,9 @@ class FastScanner:
         #: MATCH-driven slot overflow (see _async_retry)
         self._match_dense = False
         self._jdense = None            # lazy: _count_chunked's dense pass
+        #: async-overflow retraces taken (diagnostics; the adaptation
+        #: machinery must converge — smoke asserts this stops growing)
+        self._retries = 0
         #: extra filter stages beyond the static budgets; bumped on async
         #: overflow (_async_retry), so a pattern set whose correlated-stage
         #: FPR beats the estimates converges to a non-overflowing
@@ -794,7 +953,8 @@ class FastScanner:
         n = int(text.shape[0])
         ft = self.ft
         mask2d = pf.filter_mask_pallas(text, ft.bitmaps[:k], m=ft.m, n=n,
-                                       n_stages=k, interpret=self.interpret)
+                                       n_stages=k, cd=ft.cd(k),
+                                       interpret=self.interpret)
         tw = pf.words_view_pallas(text, nw=words_len(n, ft.words),
                                   interpret=self.interpret)
         return compact_verify_retry(mask2d, tw, ft, cap=self.cap,
@@ -809,23 +969,25 @@ class FastScanner:
         pass, the distribution core and the positions pieces.
 
         matched=False -> (count, overflow); matched=True -> (idxs,
-        per-candidate match mask, overflow)."""
+        per-candidate match mask, per-candidate internal pattern id,
+        overflow)."""
         from tpu_smatcher.ops import pallas_filter as pf
         ft = self.ft
         n = piece.shape[0]
         mask2d = pf.filter_mask_pallas(piece, ft.bitmaps[:k], m=ft.m, n=n,
-                                       n_stages=k, interpret=self.interpret)
+                                       n_stages=k, cd=ft.cd(k),
+                                       interpret=self.interpret)
         idxs, o, n_cand = compact_mask(mask2d,
                                        caprows=min(caprows, mask2d.shape[0]),
                                        cap=self.cap, row_slots=row_slots)
         tw = pf.words_view_pallas(piece, nw=words_len(n, ft.words),
                                   interpret=self.interpret)
         if matched:
-            r = verify_matched_at(tw, idxs, ft.bucket_ids, ft.packed,
-                                  ft.bucket_fp2, m=ft.m, words=ft.words,
-                                  lmax=ft.lmax, eb=ft.eb,
-                                  n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
-            return idxs, r, o
+            r, pid = verify_attr_at(tw, idxs, ft.bucket_ids, ft.packed,
+                                    ft.bucket_fp2, m=ft.m, words=ft.words,
+                                    lmax=ft.lmax, eb=ft.eb,
+                                    n_starts=n - ft.m + 1, slot_ok=ft.slot_ok)
+            return idxs, r, pid, o
         # cond-gated chunks: verify cost follows the TRUE candidate count
         # (a full-cap verify_at costs the static cap even for a handful of
         # candidates — measured 30 ms/scan on the match-dense world192
@@ -887,12 +1049,20 @@ class FastScanner:
                     jnp.int32(0))
         k = stages_for(ft, n, self.cap)
         kb = stages_for_block(ft, pf.SLOT_RB * 128)
-        if kb > len(ft.bitmaps):
-            # even all built stages cannot meet the per-block slot budget
-            # (huge/saturating pattern sets) — use the mask+compact path
-            c, o = self._mask_verify(text, k,
-                                     caprows=min(self.caprows, self.cap),
-                                     row_slots=self.row_slots)
+        B = ft.stage_bits // 4096
+        if kb > len(ft.bitmaps) or (kb - k) * B > 48:
+            # mask+compact path when the slot kernel can't or SHOULDN'T
+            # run: either all built stages miss the per-block slot budget
+            # (saturating sets), or meeting it costs more extra filter
+            # stages than the mask pipeline's whole overhead — at p=100k
+            # the 16-slot budget wants kb-k = 4 extra 32-bank stages
+            # (~128 bank-gather units/position) while the mask write +
+            # compaction run ~55 units; threshold 48 keeps every p <= 30k
+            # config on the fused slot path (measured optimum there)
+            c, o = self._mask_verify(
+                text, k,
+                caprows=min(self.cap, max(self.caprows, 1 << 17)),
+                row_slots=self.row_slots)
         else:
             # fused in-kernel compaction + word view: the filter kernel
             # itself emits BLOCK_SLOTS candidate positions per block and
@@ -900,7 +1070,7 @@ class FastScanner:
             # HBM, no R-element scatter, no words_view re-read of the text
             k = min(max(k, kb) + self._k_extra, len(ft.bitmaps))
             slotmat, tw = pf.filter_slots_pallas(
-                text, ft.bitmaps[:k], m=ft.m, n=n, n_stages=k,
+                text, ft.bitmaps[:k], m=ft.m, n=n, n_stages=k, cd=ft.cd(k),
                 nw_min=words_len(n, ft.words), interpret=self.interpret)
             idxs, o, n_cand = compact_slots(slotmat, slots=pf.BLOCK_SLOTS,
                                             cap=self.cap)
@@ -940,16 +1110,34 @@ class FastScanner:
           block).  Instead switch this scanner's async path to the dense
           mask-pipeline device pass (one retrace, then every scan is a
           single dispatch again)."""
+        self._retries += 1
         c = self._count_retry(text)
         if self.ft.exact:
             return c
         n_starts = max(1, int(text.shape[0]) - self.m + 1)
         from tpu_smatcher.ops.pallas_filter import BLOCK_SLOTS, SLOT_RB
         mean_per_block = c * (SLOT_RB * 128) / n_starts
-        if mean_per_block > BLOCK_SLOTS // 2:
+        if mean_per_block > BLOCK_SLOTS // 4:
+            # BLOCK_SLOTS//4, not //2: at a match mean of 6-8 per 16K block
+            # the Poisson tail alone puts > BLOCK_SLOTS candidates in a few
+            # blocks of every large scan (P[Poisson(6.6) > 16] ~ 5e-4 x 8k
+            # blocks), so the slot path would retry forever without ever
+            # tripping a //2 threshold — measured on the p=100k planted
+            # corpus (53k matches over 2^27: mean 6.6, every scan retried)
             self._match_dense = True
-        elif c <= self.cap // 4:
-            self._k_extra = min(self._k_extra + 1, 4)
+        elif c <= self.cap // 4 and self._k_extra < 4:
+            self._k_extra += 1
+        else:
+            # TERMINAL adaptation: extra stages are exhausted (or matches
+            # are too many for the cap margin yet not block-dense) and the
+            # scan still overflowed — e.g. an adversarial fp-collision set
+            # (windows sharing all three base fps with a pattern pass
+            # EVERY derived stage; constructible by a birthday search on
+            # the 48-bit fp space).  Without this branch such a workload
+            # would re-run the sync ladder on every scan forever; the
+            # dense mask pass is a single dispatch and its 128-deep row
+            # budget absorbs any per-block clustering.
+            self._match_dense = True
         return c
 
     def count_async(self, text) -> ScanFuture:
@@ -965,9 +1153,17 @@ class FastScanner:
                                                         text))
 
     def _device_count_dense(self, text):
-        """Like _device_count but row-dense-capable: full cap and the full
-        128 row slots, so a piece of <= cap/4 starts can NEVER overflow
-        (used only by _count_chunked — the dense-corpus fallback)."""
+        """Like _device_count but row-dense-capable: full cap and deep row
+        slots, so a piece of <= cap/4 starts can NEVER overflow (used by
+        _count_chunked — the dense-corpus fallback — and as the steady
+        match-dense pass).
+
+        compact_mask's extraction costs caprows x row_slots lane-ops, so
+        the full (cap, 128) budget is reserved for SMALL pieces (where the
+        row clamp keeps it cheap and the no-overflow guarantee must hold);
+        big scans bound both — a p-scaled 2^19 cap at 128 slots costs
+        ~8.6G lane-ops, measured ~2x the whole 12-stage filter at n=2^27 —
+        and fall back to pieces on the (pathological) overflow."""
         from tpu_smatcher.ops import pallas_filter as pf
         n = text.shape[0]
         ft = self.ft
@@ -979,7 +1175,11 @@ class FastScanner:
                                           interpret=self.interpret),
                     jnp.int32(0))
         k = stages_for(ft, n, self.cap)
-        c, o = self._mask_verify(text, k, caprows=self.cap, row_slots=128)
+        small = n - ft.m + 1 <= max(self.cap // 2, 1 << 17)
+        c, o = self._mask_verify(
+            text, k,
+            caprows=self.cap if small else min(self.cap, 1 << 17),
+            row_slots=128 if small else 16)
         return c, jnp.int32(o)
 
     def _count_chunked(self, text, *, depth: int = 4) -> int:
@@ -1051,16 +1251,107 @@ class FastScanner:
         return stream_positions_file(self.positions, self.m, path,
                                      chunk=chunk)
 
+    def _has_attr_tables(self) -> bool:
+        ft = self.ft
+        return bool(ft.n_orig) and (
+            ft.wid_pids is not None if ft.exact else ft.orig_ids is not None)
+
+    def _attr_drive(self, text, on_piece, *, depth: int = 4):
+        """The positions() split-on-overflow piece pipeline, with DEVICE
+        pattern-id attribution: on_piece(start, idxs_dev, pids_dev) is
+        called for every non-overflowing piece (idxs -1-padded matched
+        starts, pids the aligned ORIGINAL pattern ids)."""
+        from tpu_smatcher.ops.common import check_count32
+        text = jnp.asarray(text, jnp.uint8)
+        n = int(text.shape[0])
+        check_count32(n)
+        ft = self.ft
+        m = ft.m
+        if n < m:
+            return
+        total_starts = n - m + 1
+        min_chunk = max(self.cap // 2, 1)
+
+        def piece_of(start, owned):
+            return jax.lax.slice(text, (start,),
+                                 (min(start + owned + m - 1, n),))
+
+        work = [(0, total_starts)]
+        inflight = []
+        guess = None
+
+        def drain_one():
+            nonlocal guess
+            start, owned, idxs_d, pids_d, o_d = inflight.pop(0)
+            if bool(np.asarray(o_d)):
+                if owned <= min_chunk:
+                    raise AssertionError(
+                        "attribution piece overflowed below the guaranteed "
+                        "size — this is a bug")
+                if guess is None and owned == total_starts:
+                    total = max(self.count(text), 1)
+                    guess = int(max(min_chunk,
+                                    min(owned // 2,
+                                        (self.cap // 2) * owned // total)))
+                split = max(min_chunk, min(guess or owned // 2, owned // 2))
+                for s in range(start, start + owned, split):
+                    work.append((s, min(split, start + owned - s)))
+                return
+            on_piece(start, idxs_d, pids_d)
+
+        while work or inflight:
+            while work and len(inflight) < depth:
+                start, owned = work.pop()
+                idxs_d, pids_d, o_d = self._attr_piece(piece_of(start, owned))
+                inflight.append((start, owned, idxs_d, pids_d, o_d))
+            if inflight:
+                drain_one()
+
     def matches(self, text):
-        """(positions, pattern_ids) — see common.scanner_matches."""
-        from tpu_smatcher.ops.common import scanner_matches
-        return scanner_matches(self, text)
+        """(positions (n,) int64 sorted, pattern_ids (n,) int64): every
+        match start plus the ORIGINAL id of the matching pattern (smallest
+        id for byte-identical duplicates).  Attribution is DEVICE-side —
+        the pid the verify stage already selects (verify_attr_at), not a
+        host re-derivation; the reference's verify loops identify the
+        pattern but only count it (wu/wu.c:184-201).  Tables without
+        attribution info (pre-r4 checkpoints) fall back to host
+        datagen.match_ids."""
+        if not self._has_attr_tables():
+            from tpu_smatcher.ops.common import scanner_matches
+            return scanner_matches(self, text)
+        pos_out, id_out = [], []
+
+        def on_piece(start, idxs_d, pids_d):
+            idxs = np.asarray(idxs_d)
+            live = idxs >= 0
+            if live.any():
+                pos_out.append(idxs[live].astype(np.int64) + start)
+                id_out.append(np.asarray(pids_d)[live].astype(np.int64))
+
+        self._attr_drive(text, on_piece)
+        if not pos_out:
+            return np.empty((0,), np.int64), np.empty((0,), np.int64)
+        pos = np.concatenate(pos_out)
+        ids = np.concatenate(id_out)
+        order = np.argsort(pos, kind="stable")
+        return pos[order], ids[order]
 
     def count_per_pattern(self, text):
-        """(p,) int64 per-pattern match-start counts — see
-        common.scanner_count_per_pattern."""
-        from tpu_smatcher.ops.common import scanner_count_per_pattern
-        return scanner_count_per_pattern(self, text)
+        """(p,) int64 per-pattern match-start counts, aggregated ON DEVICE
+        (per-piece scatter-add histograms, one (p,) fetch at the end) —
+        O(matches) device work instead of O(matches x m) host numpy.
+        Totals sum to count(text); duplicates credit the smallest id."""
+        if not self._has_attr_tables():
+            from tpu_smatcher.ops.common import scanner_count_per_pattern
+            return scanner_count_per_pattern(self, text)
+        n_orig = self.ft.n_orig
+        acc = [jnp.zeros((n_orig,), jnp.int32)]
+
+        def on_piece(start, idxs_d, pids_d):
+            acc[0] = acc[0] + _hist_delta(pids_d, n_orig=n_orig)
+
+        self._attr_drive(text, on_piece)
+        return np.asarray(acc[0]).astype(np.int64)
 
     def _positions_piece(self, piece):
         """Traceable (idxs (cap,) int32 with -1 padding, overflow) for ALL
@@ -1073,7 +1364,8 @@ class FastScanner:
                 m=ft.m, sigma=ft.sigma, exact=ft.exact, cap=self.cap,
                 n_stages=stages_for(ft, piece.shape[0], self.cap),
                 words=ft.words, lmax=ft.lmax, eb=ft.eb, slot_ok=ft.slot_ok,
-                stage_bits=ft.stage_bits)
+                stage_bits=ft.stage_bits,
+                cd=ft.cd(stages_for(ft, piece.shape[0], self.cap)))
         from tpu_smatcher.ops import pallas_filter as pf
         n = piece.shape[0]
         cap = self.cap
@@ -1089,9 +1381,39 @@ class FastScanner:
                                       cap=cap, row_slots=128)
             return idxs, o
         k = stages_for(ft, n, cap)
-        idxs, matched, o = self._mask_verify(piece, k, caprows=cap,
-                                             row_slots=128, matched=True)
+        idxs, matched, _, o = self._mask_verify(piece, k, caprows=cap,
+                                                row_slots=128, matched=True)
         return jnp.where(matched, idxs, -1), o
+
+    def _attr_piece(self, piece):
+        """Traceable (idxs (cap,) matched starts -1-padded, pids (cap,)
+        ORIGINAL pattern ids aligned with idxs, overflow) — the attribution
+        variant of _positions_piece (device-side pattern ids, no host
+        re-derivation)."""
+        ft = self.ft
+        cap = self.cap
+        from tpu_smatcher.ops.pallas_filter import max_fast_m
+        if ft.exact:
+            idxs, o = self._positions_piece(piece)
+            pids = _exact_attr(piece, idxs, ft.wid_pids, m=ft.m,
+                               sigma=ft.sigma)
+            return idxs, pids, o
+        if self.backend != "pallas" or ft.m > max_fast_m():
+            k = stages_for(ft, piece.shape[0], cap)
+            idxs, pid, o = _positions_piece_xla(
+                piece, ft.bitmaps, ft.bucket_ids, ft.packed, ft.bucket_fp2,
+                m=ft.m, sigma=ft.sigma, exact=False, cap=cap, n_stages=k,
+                words=ft.words, lmax=ft.lmax, eb=ft.eb, slot_ok=ft.slot_ok,
+                stage_bits=ft.stage_bits, cd=ft.cd(k), attr=True)
+        else:
+            k = stages_for(ft, piece.shape[0], cap)
+            idxs, matched, pid, o = self._mask_verify(
+                piece, k, caprows=cap, row_slots=128, matched=True)
+            idxs = jnp.where(matched, idxs, -1)
+            pid = jnp.where(matched, pid, -1)
+        pid_orig = jnp.where(
+            pid >= 0, ft.orig_ids[jnp.maximum(pid, 0)], -1)
+        return idxs, pid_orig, o
 
     def positions(self, text, *, chunk: int | None = None,
                   depth: int = 4) -> np.ndarray:
@@ -1194,18 +1516,22 @@ class FastScanner:
                     jnp.int32(0))
         k = stages_for(ft, n, self.cap)
         kb = stages_for_block(ft, pf.SLOT_RB * 128)
-        if kb <= len(ft.bitmaps):
+        B = ft.stage_bits // 4096
+        if kb <= len(ft.bitmaps) and (kb - k) * B <= 48:
             # fused in-kernel compaction + word view (see _device_count);
             # overflow still rides the psum so distributed scans raise,
             # never undercount
             slotmat, tw = pf.filter_slots_pallas(
                 ext, ft.bitmaps[:max(k, kb)], m=ft.m, n=n,
-                n_stages=max(k, kb), nw_min=words_len(n, ft.words),
+                n_stages=max(k, kb), cd=ft.cd(max(k, kb)),
+                nw_min=words_len(n, ft.words),
                 interpret=self.interpret)
             idxs, o, n_cand = compact_slots(slotmat, slots=pf.BLOCK_SLOTS,
                                             cap=self.cap)
             c = verify_chunked(tw, idxs, n_cand, ft, n_starts=n - ft.m + 1)
         else:
-            c, o = self._mask_verify(ext, k, caprows=self.caprows,
-                                     row_slots=self.row_slots)
+            # big-p mask path (same routing threshold as _device_count)
+            c, o = self._mask_verify(
+                ext, k, caprows=min(self.cap, max(self.caprows, 1 << 17)),
+                row_slots=self.row_slots)
         return c, jnp.int32(o)

@@ -78,16 +78,16 @@ def _stage_hit(kind, params, ref, t32, rb):
         keys = _fp_keys_mxu(t_bf, (w_ref,), 0xFFFF)
         return _bitmap_lookup(bitmap_ref, keys, rb)
     if kind == "fpset":                    # k derived fingerprint stages
-        (k,) = params                      # (pallas_filter._filter_kernel)
+        (k, cd) = params                   # (pallas_filter._filter_kernel)
         bitmap_refs, w_refs, t_bf = ref
-        parts = len(w_refs) // n_base_fps(k)
+        parts = len(w_refs) // n_base_fps(k, cd)
         bases = [_fp_keys_mxu(t_bf, w_refs[i * parts:(i + 1) * parts],
-                              0xFFFF) for i in range(n_base_fps(k))]
+                              0xFFFF) for i in range(n_base_fps(k, cd))]
         smask = bitmap_refs[0].shape[0] * 4096 - 1
         acc = None
         for s in range(k):
             h = _bitmap_lookup(bitmap_refs[s],
-                               derived_keys(bases, s, smask), rb)
+                               derived_keys(bases, cd[s], smask), rb)
             acc = h if acc is None else (acc & h)
         return acc
     if kind == "wm":                       # SHIFT[hash(last 3 chars)] == 0
@@ -121,9 +121,9 @@ def _stages_kernel(tile_ref, *refs, stages, m, sigma, n_starts, rb,
     ri = 0
     for kind, params in stages:
         if kind == "fpset":    # consumes k bitmaps + nw*parts weight parts
-            (k,) = params
+            (k, cd) = params
             from tpu_smatcher.ops.pallas_filter import PART_TERMS
-            nww = n_base_fps(k) * -(-m // PART_TERMS)
+            nww = n_base_fps(k, cd) * -(-m // PART_TERMS)
             ref = (refs[ri:ri + k], refs[ri + k:ri + k + nww], t_bf)
             ri += k + nww
         elif kind == "wid":    # consumes (bitmap, wid weights)
@@ -227,17 +227,18 @@ class EngineFastPath:
     """
 
     def __init__(self, kind: str, patterns: np.ndarray, sigma: int, *,
-                 shift_ext=None, t_table=None, cap: int = DEFAULT_CAP,
+                 shift_ext=None, t_table=None, cap: int | None = None,
                  caprows: int | None = None, row_slots: int | None = None,
                  interpret: bool = False):
         patterns = np.asarray(patterns, np.uint8)
         p, m = patterns.shape
         self.kind, self.m, self.sigma = kind, m, sigma
-        self.cap = cap
-        self.caprows = caprows if caprows is not None else cap
-        self.row_slots = row_slots if row_slots is not None else 8
         self.interpret = interpret
         self.ft = build_fast(patterns, sigma)
+        from tpu_smatcher.ops.fast import cap_for
+        self.cap = cap_for(self.ft) if cap is None else cap
+        self.caprows = caprows if caprows is not None else self.cap
+        self.row_slots = row_slots if row_slots is not None else 8
         bits = _bits_per_char(sigma)
 
         # a banked value lookup unrolls one gather per 128 entries; beyond
@@ -288,10 +289,10 @@ class EngineFastPath:
                                       row_bytes_for(self.m)))
             return stages, tables, True
         k = min(max(stages_for(ft, n, self.cap), k_min), len(ft.bitmaps))
-        stages.append(("fpset", (k,)))
+        stages.append(("fpset", (k, ft.cd(k))))
         tables.extend(ft.bitmaps[:k])
         # base-fp mults and m live entirely in the prebuilt weights tables
-        tables.extend(part for i in range(n_base_fps(k))
+        tables.extend(part for i in range(n_base_fps(k, ft.cd(k)))
                       for part in fp_weights(FP_MULTS[i], self.m))
         return stages, tables, False
 
@@ -306,7 +307,12 @@ class EngineFastPath:
         if n < self.m:
             return jnp.int32(0), jnp.int32(0)
         kb = stages_for_block(ft, SLOT_RB * 128) if not ft.exact else 1
-        use_slots = (not ft.exact) and fused and kb <= len(ft.bitmaps)
+        use_slots = (not ft.exact) and fused and kb <= len(ft.bitmaps) and (
+            # big-p routing: meeting the per-block slot budget must not
+            # cost more extra wide stages than the mask pipeline's whole
+            # overhead (see FastScanner._device_count)
+            (kb - stages_for(ft, n, self.cap)) * (ft.stage_bits // 4096)
+            <= 48)
         stages, tables, exact = self._stages(n, k_min=kb if use_slots else 1)
         if exact:
             c = _run_stages(ext, stages, tables, m=self.m, sigma=self.sigma,

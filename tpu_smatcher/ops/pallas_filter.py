@@ -273,16 +273,26 @@ def _fp_keys_mxu(t_bf, w_refs, mask: int) -> jnp.ndarray:
     return acc & mask
 
 
-def n_base_fps(n_stages: int) -> int:
+def n_base_fps(n_stages: int, cd: tuple | None = None) -> int:
     """Base fingerprints the derived-stage filter needs (1..3): fp0 always,
-    fp1 for stage 1+, fp2 for the triple-hashed stages 2+ (STAGE_CD)."""
-    return 1 if n_stages <= 1 else (2 if n_stages == 2 else 3)
+    fp1 when any stage has C != 0, fp2 when any has D != 0.  With the
+    default STAGE_CD head that is 1/2/3 for 1/2/3+ stages; WIDE tables
+    (stage_bits > 2^16) mix all three from stage 0."""
+    if cd is None:
+        cd = STAGE_CD[:n_stages]
+    n = 1
+    if any(c for c, _ in cd[:n_stages]):
+        n = 2
+    if any(d for _, d in cd[:n_stages]):
+        n = 3
+    return n
 
 
-def derived_keys(bases: list, s: int, smask: int):
-    """Stage-s filter key from the base fingerprints: fp0 + C_s*fp1 +
-    D_s*fp2 mod (smask+1).  int32 wraparound is exact mod-2^k arithmetic."""
-    C, D = STAGE_CD[s]
+def derived_keys(bases: list, cd_s: tuple, smask: int):
+    """Stage filter key from the base fingerprints and the stage's (C, D):
+    fp0 + C*fp1 + D*fp2 mod (smask+1).  int32 wraparound is exact mod-2^k
+    arithmetic (the mask keeps only low bits, k <= 18 < 31)."""
+    C, D = cd_s
     keys = bases[0]
     if C:
         keys = keys + C * bases[1]
@@ -434,25 +444,40 @@ def _fp_keys_views(views_bf: list, w_refs, mask: int) -> jnp.ndarray:
 
 
 def _candidates_flat(a_ref, edge_ref, bitmap_refs, w_refs, *, m, n_stages,
-                     n_starts, rb):
+                     n_starts, rb, cd=None):
     """_candidates over the flat layout: context views from _ctx_views,
     base fingerprints from per-view weight blocks."""
+    if cd is None:
+        cd = STAGE_CD[:n_stages]
     h = cdiv(max(m - 1, 1), LANES)
     nv = 1 + h
     views = _ctx_views(a_ref, edge_ref, rb, h)
     views_bf = [v.astype(jnp.bfloat16) for v in views]
     bases = [_fp_keys_views(views_bf, w_refs[i * nv:(i + 1) * nv], 0xFFFF)
-             for i in range(n_base_fps(n_stages))]
+             for i in range(n_base_fps(n_stages, cd))]
     smask = bitmap_refs[0].shape[0] * 4096 - 1
     cand = None
     for s in range(n_stages):
-        hit = _bitmap_lookup(bitmap_refs[s], derived_keys(bases, s, smask), rb)
+        hit = _bitmap_lookup(bitmap_refs[s],
+                             derived_keys(bases, cd[s], smask), rb)
         cand = hit if cand is None else (cand & hit)
     return jnp.where(_window_positions(rb) < n_starts, cand, 0)
 
 
+def filter_rb(n_stages: int, banks: int, rb: int = FILTER_RB) -> int:
+    """Rows per filter-kernel grid block, shrunk when stage count x bank
+    count would overflow Mosaic's scoped-VMEM stack: the kernel keeps
+    ~one (rb, 128) int32 temporary live per (stage, bank) — measured
+    94.8 MB at k=25/B=16/rb=512, matching this model — so saturating
+    pattern sets (p ~ 100k needs 16 wide or 25+ narrow stages) must trade
+    grid-step economy for stack headroom under the 64 MB limit."""
+    while rb > SLOT_RB and n_stages * banks * rb * LANES * 4 > 40 * 2**20:
+        rb //= 2
+    return rb
+
+
 def _filter_slots_flat_kernel(a_ref, edge_ref, *refs, m, n_stages, n_starts,
-                              rb, nv, slots):
+                              rb, nv, slots, cd=None):
     """Filter + fused in-kernel compaction (slot_row) + fused word view.
 
     Instead of writing the full (R, 128) mask to HBM (268 MB at 256 MiB
@@ -464,13 +489,14 @@ def _filter_slots_flat_kernel(a_ref, edge_ref, *refs, m, n_stages, n_starts,
     keeps the BLOCK_SLOTS budget calibration while the filter block (rb)
     grows for grid-step economy."""
     bitmap_refs = refs[:n_stages]
-    nw = n_base_fps(n_stages)
+    nw = n_base_fps(n_stages, cd)
     w_refs = refs[n_stages:n_stages + nw * nv]
     tril_ref, triu_ref = refs[n_stages + nw * nv:n_stages + nw * nv + 2]
     out_ref = refs[n_stages + nw * nv + 2]
     words_ref = refs[n_stages + nw * nv + 3]
     cand = _candidates_flat(a_ref, edge_ref, bitmap_refs, w_refs, m=m,
-                            n_stages=n_stages, n_starts=n_starts, rb=rb)
+                            n_stages=n_stages, n_starts=n_starts, rb=rb,
+                            cd=cd)
     gpos = _window_positions(rb)
     for hh in range(rb // SLOT_RB):
         sub = slice(hh * SLOT_RB, (hh + 1) * SLOT_RB)
@@ -507,11 +533,12 @@ def _rank_weights(rb: int):
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n", "n_stages", "slots",
-                                             "nw_min", "rb", "interpret"))
+                                             "nw_min", "rb", "cd",
+                                             "interpret"))
 def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
                         n_stages: int, slots: int = BLOCK_SLOTS,
                         nw_min: int = 0, rb: int = FILTER_RB,
-                        interpret: bool = False):
+                        cd: tuple | None = None, interpret: bool = False):
     """((nblocks, 128) int32 slot rows, (>= nw_min,) int32 word view).
 
     Slot rows: lanes [0, slots) hold global candidate positions in block
@@ -532,6 +559,7 @@ def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
     is skipped there (word view = exactly the text's n/4 words — verify
     gathers clamp and _verify_matched masks out-of-window tail bytes, so
     margin words are never observed)."""
+    rb = filter_rb(n_stages, int(bitmaps[0].shape[0]), rb)
     n_starts = max(0, n - m + 1)
     h = cdiv(max(m - 1, 1), LANES)
     nv = 1 + h
@@ -550,13 +578,13 @@ def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
         padded = jnp.zeros(((R + 8) * LANES,), jnp.uint8).at[:n].set(text[:n])
         rows = padded.reshape(R + 8, LANES)
         edge_map = lambda i: (i * nb8 + nb8, 0)
-    weights = tuple(w for i in range(n_base_fps(n_stages))
+    weights = tuple(w for i in range(n_base_fps(n_stages, cd))
                     for w in fp_weights_views(FP_MULTS[i], m))
     tril, triu = _rank_weights(SLOT_RB)
     halves = rb // SLOT_RB
     kern = functools.partial(_filter_slots_flat_kernel, m=m,
                              n_stages=n_stages, n_starts=n_starts, rb=rb,
-                             nv=nv, slots=slots)
+                             nv=nv, slots=slots, cd=cd)
     slotmat, words = pl.pallas_call(
         kern,
         grid=(R // rb,),
@@ -756,24 +784,28 @@ def words_view_pallas(text: jnp.ndarray, *, nw: int, rb: int = DEFAULT_RB,
 
 
 def _filter_mask_flat_kernel(a_ref, edge_ref, *refs, m, n_stages, n_starts,
-                             rb, nv):
+                             rb, nv, cd=None):
     bitmap_refs = refs[:n_stages]
-    nw = n_base_fps(n_stages)
+    nw = n_base_fps(n_stages, cd)
     w_refs = refs[n_stages:n_stages + nw * nv]
     mask_ref = refs[n_stages + nw * nv]
     cand = _candidates_flat(a_ref, edge_ref, bitmap_refs, w_refs, m=m,
-                            n_stages=n_stages, n_starts=n_starts, rb=rb)
+                            n_stages=n_stages, n_starts=n_starts, rb=rb,
+                            cd=cd)
     mask_ref[:] = cand.astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "n", "n_stages", "rb", "interpret"))
+@functools.partial(jax.jit, static_argnames=("m", "n", "n_stages", "rb",
+                                             "cd", "interpret"))
 def filter_mask_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
                        n_stages: int, rb: int = FILTER_RB,
+                       cd: tuple | None = None,
                        interpret: bool = False) -> jnp.ndarray:
     """(n_starts,) int8 candidate mask from k fingerprint stages
     (keys on the MXU, bitmap membership on the VPU), over the flat
     (rows, 128) layout (zero-copy when block-aligned — see
     filter_slots_pallas)."""
+    rb = filter_rb(n_stages, int(bitmaps[0].shape[0]), rb)
     n_starts = max(0, n - m + 1)
     h = cdiv(max(m - 1, 1), LANES)
     nv = 1 + h
@@ -788,11 +820,11 @@ def filter_mask_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
         padded = jnp.zeros(((R + 8) * LANES,), jnp.uint8).at[:n].set(text[:n])
         rows = padded.reshape(R + 8, LANES)
         edge_map = lambda i: (i * nb8 + nb8, 0)
-    weights = tuple(w for i in range(n_base_fps(n_stages))
+    weights = tuple(w for i in range(n_base_fps(n_stages, cd))
                     for w in fp_weights_views(FP_MULTS[i], m))
     kern = functools.partial(_filter_mask_flat_kernel, m=m,
                              n_stages=n_stages, n_starts=n_starts, rb=rb,
-                             nv=nv)
+                             nv=nv, cd=cd)
     mask = pl.pallas_call(
         kern,
         grid=(R // rb,),

@@ -265,6 +265,7 @@ class DistributedPositions:
                 kst = stages_for(ft, n, cap)
                 mask2d = pf.filter_mask_pallas(piece, ft.bitmaps[:kst],
                                                m=ft.m, n=n, n_stages=kst,
+                                               cd=ft.cd(kst),
                                                interpret=interpret)
                 idxs, o, _ = compact_mask(mask2d,
                                        caprows=min(cap, mask2d.shape[0]),
