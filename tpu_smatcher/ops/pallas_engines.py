@@ -210,6 +210,128 @@ def _run_stages(text, stages, tables, *, m, sigma, n, mode,
     return out
 
 
+def _stages_kernel_flat(a_ref, edge_ref, *refs, stages, m, n_starts, rb,
+                        mode, nv):
+    """_stages_kernel over the FLAT (rows, 128) layout — MXU-keyed stages
+    only ('wid' d-gram bitmaps and the shared 'fpset' derived stages),
+    whose banded-matmul keys come straight from the in-kernel context
+    views (pallas_filter._ctx_views).  The wm/sog stages need misaligned
+    column slices of a materialized tile (pathological on the flat layout,
+    docs/DESIGN.md dead-end list) and keep the overlap-tile kernel."""
+    from tpu_smatcher.ops.pallas_filter import (
+        _ctx_views, _fp_keys_views, emit_words_flat)
+    h = nv - 1
+    views = _ctx_views(a_ref, edge_ref, rb, h)
+    views_bf = [v.astype(jnp.bfloat16) for v in views]
+    hit = None
+    ri = 0
+    for kind, params in stages:
+        if kind == "wid":
+            bitmap_ref = refs[ri]
+            w_refs = refs[ri + 1:ri + 1 + nv]
+            ri += 1 + nv
+            keys = _fp_keys_views(views_bf, w_refs, 0xFFFF)
+            s_hit = _bitmap_lookup(bitmap_ref, keys, rb)
+        elif kind == "fpset":
+            (k, cd) = params
+            nw = n_base_fps(k, cd)
+            bitmap_refs = refs[ri:ri + k]
+            w_refs = refs[ri + k:ri + k + nw * nv]
+            ri += k + nw * nv
+            bases = [_fp_keys_views(views_bf, w_refs[i * nv:(i + 1) * nv],
+                                    0xFFFF) for i in range(nw)]
+            smask = bitmap_refs[0].shape[0] * 4096 - 1
+            s_hit = None
+            for s in range(k):
+                t = _bitmap_lookup(bitmap_refs[s],
+                                   derived_keys(bases, cd[s], smask), rb)
+                s_hit = t if s_hit is None else (s_hit & t)
+        else:
+            raise ValueError(f"flat kernel cannot run stage kind {kind!r}")
+        hit = s_hit if hit is None else (hit & s_hit)
+    hit = jnp.where(_window_positions(rb) < n_starts, hit, 0)
+    if mode == "count":
+        out_ref = refs[ri]
+        s = jnp.sum(hit, dtype=jnp.int32)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[0, 0] = 0
+
+        out_ref[0, 0] += s
+    elif mode == "slots":
+        tril_ref, triu_ref, out_ref = refs[ri], refs[ri + 1], refs[ri + 2]
+        emit_slots(hit, out_ref, tril_ref, triu_ref, rb=rb, slots=BLOCK_SLOTS)
+        emit_words_flat(a_ref, refs[ri + 3], rb=rb)
+    else:
+        refs[ri][:] = hit.astype(jnp.int8)
+
+
+def _run_stages_flat(text, stages, tables, *, m, n, mode, nw_min=0,
+                     rb=SLOT_RB, interpret=False):
+    """_run_stages over the flat (rows, 128) layout: zero host-side copies
+    when the text is block-aligned, otherwise one pad copy — never the
+    (R, row_bytes) overlap concat (~2n extra HBM write+read).  Same output
+    contracts as _run_stages."""
+    from tpu_smatcher.ops.common import cdiv
+    n_starts = max(0, n - m + 1)
+    h = cdiv(max(m - 1, 1), LANES)
+    nv = 1 + h
+    nb8 = rb // 8
+    R0 = max(1, cdiv(n_starts, LANES))
+    R0 = cdiv(R0, rb) * rb
+    if n == R0 * LANES and int(text.shape[0]) == n:
+        R = R0
+        rows = text.reshape(R, LANES)
+        last = R // 8 - 1
+        edge_map = lambda i: (jnp.minimum(i * nb8 + nb8, last), 0)
+    else:
+        R = (max(R0, cdiv(cdiv(nw_min, LANES // 4), rb) * rb)
+             if mode == "slots" else R0)
+        padded = jnp.zeros(((R + 8) * LANES,), jnp.uint8).at[:n].set(text[:n])
+        rows = padded.reshape(R + 8, LANES)
+        edge_map = lambda i: (i * nb8 + nb8, 0)
+    kern = functools.partial(_stages_kernel_flat, stages=tuple(stages), m=m,
+                             n_starts=n_starts, rb=rb, mode=mode, nv=nv)
+    if mode == "slots":
+        tables = list(tables) + list(_rank_weights(rb))
+    table_specs = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM) for t in tables]
+    if mode == "count":
+        out_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
+        out_shape = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    elif mode == "slots":
+        out_spec = [pl.BlockSpec((1, LANES), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rb // 4, LANES), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((1, (R // rb) * LANES), jnp.int32),
+                     jax.ShapeDtypeStruct((R // 4, LANES), jnp.int32)]
+    else:
+        out_spec = pl.BlockSpec((rb, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((R, LANES), jnp.int8)
+    from tpu_smatcher.ops.pallas_filter import VMEM_LIMIT
+    out = pl.pallas_call(
+        kern,
+        grid=(R // rb,),
+        in_specs=[pl.BlockSpec((rb, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, LANES), edge_map,
+                               memory_space=pltpu.VMEM)] + table_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=VMEM_LIMIT,
+    )(rows, rows, *tables)
+    if mode == "count":
+        return out[0, 0]
+    if mode == "slots":
+        return out[0].reshape(R // rb, LANES), out[1].reshape(-1)
+    return out
+
+
 def _to_banks(values: np.ndarray) -> jnp.ndarray:
     """(N,) int table -> (ceil(N/128), 128) int32 banks (zero padded)."""
     v = np.asarray(values)
@@ -266,35 +388,58 @@ class EngineFastPath:
                 bm = pack_bitmap(_wid_keys_np(sub, sigma),
                                  max(4096, 1 << (d * bits)))
                 self.stage0 = ("wid", (off, d, bits))
-                self.tables0 = [jnp.asarray(bm),
-                                wid_weights(d, bits, off,
-                                            row_bytes_for(m))]
+                # weight layout (tiled vs flat) is chosen per scan
+                # (_stages); only the bitmap is fixed here
+                self.tables0 = [jnp.asarray(bm)]
 
         self._jcount = jax.jit(self._count_impl)
         self._jcount_fused = jax.jit(functools.partial(self._count_impl,
                                                        fused=True))
         self._jmask = jax.jit(self._mask_impl)
 
-    def _stages(self, n, k_min: int = 1):
+    def _stages(self, n, k_min: int = 1, flat: bool = False):
+        from tpu_smatcher.ops.pallas_filter import (
+            fp_weights_views, wid_weights_views)
+
+        def wid_w(d, bits, off):
+            return (wid_weights_views(d, bits, off, self.m) if flat
+                    else (wid_weights(d, bits, off,
+                                      row_bytes_for(self.m)),))
+
         stages, tables = [], []
         if self.stage0 is not None:
             stages.append(self.stage0)
             tables.extend(self.tables0)
+            if self.stage0[0] == "wid":
+                off, d, bits0 = self.stage0[1]
+                tables.extend(wid_w(d, bits0, off))
         ft = self.ft
         bits = _bits_per_char(self.sigma)
         if ft.exact:
             stages.append(("wid", (0, self.m, bits)))
             tables.append(ft.bitmaps[0])
-            tables.append(wid_weights(self.m, bits, 0,
-                                      row_bytes_for(self.m)))
+            tables.extend(wid_w(self.m, bits, 0))
             return stages, tables, True
         k = min(max(stages_for(ft, n, self.cap), k_min), len(ft.bitmaps))
         stages.append(("fpset", (k, ft.cd(k))))
         tables.extend(ft.bitmaps[:k])
         # base-fp mults and m live entirely in the prebuilt weights tables
-        tables.extend(part for i in range(n_base_fps(k, ft.cd(k)))
-                      for part in fp_weights(FP_MULTS[i], self.m))
+        nfp = n_base_fps(k, ft.cd(k))
+        if flat:
+            tables.extend(w for i in range(nfp)
+                          for w in fp_weights_views(FP_MULTS[i], self.m))
+        else:
+            tables.extend(part for i in range(nfp)
+                          for part in fp_weights(FP_MULTS[i], self.m))
         return stages, tables, False
+
+    def _flat_ok(self) -> bool:
+        """Flat-layout eligibility: every stage's keys are MXU banded
+        matmuls ('wid'/'fpset').  wm/sog stage-0 value lookups slice the
+        tile at misaligned columns — pathological on the flat layout
+        (docs/DESIGN.md) — and keep the overlap tile."""
+        return self.stage0 is None or self.stage0[0] == "wid"
+
 
     def _count_impl(self, ext, guard=False, fused=False):
         """Traceable (count, overflow) over starts of its argument.
@@ -313,26 +458,41 @@ class EngineFastPath:
             # overhead (see FastScanner._device_count)
             (kb - stages_for(ft, n, self.cap)) * (ft.stage_bits // 4096)
             <= 48)
-        stages, tables, exact = self._stages(n, k_min=kb if use_slots else 1)
+        flat = self._flat_ok() and not guard
+        stages, tables, exact = self._stages(n, k_min=kb if use_slots else 1,
+                                             flat=flat)
         if exact:
-            c = _run_stages(ext, stages, tables, m=self.m, sigma=self.sigma,
-                            n=n, mode="count", guard=guard,
-                            interpret=self.interpret)
+            if flat:
+                c = _run_stages_flat(ext, stages, tables, m=self.m, n=n,
+                                     mode="count", interpret=self.interpret)
+            else:
+                c = _run_stages(ext, stages, tables, m=self.m,
+                                sigma=self.sigma, n=n, mode="count",
+                                guard=guard, interpret=self.interpret)
             return c, jnp.int32(0)
         if use_slots:
             # fused in-kernel compaction + word view on the async path (the
             # engine stage only lowers the per-block candidate rate further)
-            slotmat, tw = _run_stages(ext, stages, tables, m=self.m,
-                                      sigma=self.sigma, n=n, mode="slots",
-                                      nw_min=words_len(n, ft.words),
-                                      interpret=self.interpret)
+            if flat:
+                slotmat, tw = _run_stages_flat(
+                    ext, stages, tables, m=self.m, n=n, mode="slots",
+                    nw_min=words_len(n, ft.words), interpret=self.interpret)
+            else:
+                slotmat, tw = _run_stages(ext, stages, tables, m=self.m,
+                                          sigma=self.sigma, n=n, mode="slots",
+                                          nw_min=words_len(n, ft.words),
+                                          interpret=self.interpret)
             idxs, o, n_cand = compact_slots(slotmat, slots=BLOCK_SLOTS,
                                             cap=self.cap)
             c = verify_chunked(tw, idxs, n_cand, ft, n_starts=n - ft.m + 1)
             return c, jnp.int32(o)
-        mask2d = _run_stages(ext, stages, tables, m=self.m,
-                             sigma=self.sigma, n=n, mode="mask",
-                             interpret=self.interpret)
+        if flat:
+            mask2d = _run_stages_flat(ext, stages, tables, m=self.m, n=n,
+                                      mode="mask", interpret=self.interpret)
+        else:
+            mask2d = _run_stages(ext, stages, tables, m=self.m,
+                                 sigma=self.sigma, n=n, mode="mask",
+                                 interpret=self.interpret)
         idxs, o, _ = compact_mask(mask2d,
                                   caprows=min(self.caprows, self.cap),
                                   cap=self.cap, row_slots=self.row_slots)
@@ -344,9 +504,16 @@ class EngineFastPath:
         return c, jnp.int32(o)
 
     def _mask_impl(self, ext):
-        stages, tables, _ = self._stages(ext.shape[0])
+        flat = self._flat_ok()
+        stages, tables, exact = self._stages(ext.shape[0], flat=flat)
+        if flat and not exact:
+            return _run_stages_flat(ext, stages, tables, m=self.m,
+                                    n=ext.shape[0], mode="mask",
+                                    interpret=self.interpret)
+        if flat:       # exact tier: rebuild tiled (no pad guard on flat)
+            stages, tables, _ = self._stages(ext.shape[0], flat=False)
         return _run_stages(ext, stages, tables, m=self.m, sigma=self.sigma,
-                           n=ext.shape[0], mode="mask",
+                           n=ext.shape[0], mode="mask", guard=exact,
                            interpret=self.interpret)
 
     def count(self, text) -> int:
@@ -426,14 +593,22 @@ class EngineFastPath:
         ft = self.ft
         if n < self.m:
             return np.empty((0,), np.int64)
-        stages, tables, exact = self._stages(n)
+        flat = self._flat_ok()
+        stages, tables, exact = self._stages(n, flat=flat and True)
         # the exact tier has no verification stage to reject pad-aliased
         # window ids (out-of-alphabet bytes bleed into neighboring char
         # fields) — guard like pallas_filter._exact_mask_kernel does, so the
-        # match set stays identical to FastScanner.positions
-        mask2d = _run_stages(text, stages, tables, m=self.m, sigma=self.sigma,
-                             n=n, mode="mask", guard=exact,
-                             interpret=self.interpret)
+        # match set stays identical to FastScanner.positions; the guard
+        # needs the materialized tile, so the exact tier stays tiled
+        if flat and not exact:
+            mask2d = _run_stages_flat(text, stages, tables, m=self.m, n=n,
+                                      mode="mask", interpret=self.interpret)
+        else:
+            if flat:
+                stages, tables, _ = self._stages(n, flat=False)
+            mask2d = _run_stages(text, stages, tables, m=self.m,
+                                 sigma=self.sigma, n=n, mode="mask",
+                                 guard=exact, interpret=self.interpret)
         idxs, o, _ = compact_mask(mask2d, caprows=self.caprows,
                                   cap=self.cap, row_slots=self.row_slots)
         if exact:

@@ -411,6 +411,31 @@ def fp_weights_views(mult: int, m: int):
     return tuple(out)
 
 
+@functools.lru_cache(maxsize=None)
+def wid_weights_views(d: int, bits: int, off: int, m: int):
+    """wid_weights restructured for the FLAT (rows, 128) layout: one
+    (256, 128) bf16 [lo; hi] block per 128-byte context view j, with
+    W_j[i, l] = 1 << (bits*(d-1-e)) on the band e = j*128 + i - l - off,
+    0 <= e < d — the packed id of the d chars starting `off` into each
+    window, computed on the MXU from the in-kernel context views
+    (the engine stage-0 d-gram keys: AC prefixes at off=0, SH/SBOM
+    suffixes at off=m-d).  bits*d <= 16 keeps every value exact in
+    bf16/f32 (same argument as wid_weights)."""
+    h = cdiv(max(m - 1, 1), LANES)
+    out = []
+    for j in range(1 + h):
+        W = np.zeros((LANES, 128), np.int64)
+        for l in range(LANES):
+            for i in range(LANES):
+                e = j * LANES + i - l - off
+                if 0 <= e < d:
+                    W[i, l] = 1 << (bits * (d - 1 - e))
+        lo = (W & 0xFF).astype(np.float32)
+        hi = (W >> 8).astype(np.float32)
+        out.append(np.concatenate([lo, hi], axis=0).astype(jnp.bfloat16))
+    return tuple(out)
+
+
 def _ctx_views(a_ref, edge_ref, rb: int, h: int) -> list:
     """The h+1 128-byte context views of a flat (rb, 128) block, derived
     in-kernel: view j rows are the block's rows shifted up by j, with the
