@@ -98,6 +98,11 @@ def main():
     tdev = jax.device_put(jnp.asarray(text))
     check("fast count [m=256 long-pattern path]",
           make_fast(pats).count(tdev), truth)
+    pats = datagen.generate_patterns(text, 20, 1024, ab, frac_present=0.6,
+                                     seed=15)
+    check("fast count [m=1024, 9 context views]",
+          make_fast(pats).count(tdev),
+          datagen.count_matches(text, pats))
 
     abd = Alphabet.dna()
     dense = np.zeros(1 << 20, np.uint8)

@@ -11,7 +11,7 @@ from tpu_smatcher.core import datagen
 from tpu_smatcher.engines import make_engine, make_fast
 
 
-@pytest.mark.parametrize("m", [150, 512])
+@pytest.mark.parametrize("m", [150, 512, 1024])
 def test_long_pattern_fast_path_parity(m):
     ab = Alphabet.of_size(20)
     text = datagen.generate_text(30_000, ab, seed=11)
@@ -55,3 +55,25 @@ def test_beyond_max_falls_back():
     from tpu_smatcher.parallel.dist import DistributedCounter
     dc = DistributedCounter(eng.core, make_mesh(4), m=m, sigma=pats.sigma)
     assert dc.count(text) == truth
+
+
+@pytest.mark.parametrize("m", [257, 513])
+def test_long_pattern_max_byte_fp_accumulation(m):
+    """Regression: the flat kernel's base fingerprints summed their
+    per-view f32 matmuls in f32; three or more views of near-max bytes
+    (sigma=256) exceed 2^24 and round at ulp=2, corrupting keys mod 2^16
+    and silently REJECTING true matches (the one invariant a filter must
+    never break).  Cross-view accumulation is now int32
+    (pallas_filter._fp_keys_views)."""
+    from tpu_smatcher.core.patterns import PatternSet
+    ab = Alphabet(256)
+    rng = np.random.default_rng(5)
+    n = 1 << 14
+    text = rng.choice(np.array([254, 255], np.uint8), n)
+    starts = rng.integers(0, n - m, 64)
+    pats = PatternSet(np.stack([text[s:s + m] for s in starts]), ab)
+    truth = datagen.count_matches(text, pats)
+    assert truth >= 64                       # every planted window matches
+    eng = make_fast(pats, backend="pallas", interpret=True)
+    assert eng.count(text) == truth
+    assert len(eng.positions(text)) == truth

@@ -60,10 +60,18 @@ SLOT_RB = 128            # slot-extraction sub-block: the 16-slot budget is
                          # 9 blocks exceeding 16 candidates (max 21), so a
                          # bigger filter block must NOT dilate the slot
                          # granularity
-MAX_FAST_M = 513         # longest pattern on the Pallas fast path (4 halo
+MAX_FAST_M = 1025        # longest pattern on the Pallas fast path (8 halo
                          # row-views; the reference kernels take any m —
                          # cuda/cuda_wm.cu:67-70 — so long patterns must not
-                         # fall off a cliff)
+                         # fall off a cliff).  Round 3 capped at 513; the
+                         # flat kernel holds the extra context views well
+                         # inside the 64 MB scoped VMEM (each is one
+                         # (rb, 128) bf16 temporary), and cross-view key
+                         # accumulation is int32-exact for any view count
+                         # (_fp_keys_views), so 1025 costs only compile
+                         # time.  Beyond this the tiled XLA scan takes
+                         # over transparently (measured in
+                         # results/probe_longm_r04.log).
 
 
 def max_fast_m() -> int:
@@ -451,21 +459,30 @@ def _ctx_views(a_ref, edge_ref, rb: int, h: int) -> list:
              edge_ref[:].astype(jnp.int32)], axis=0)
         for j in range(1, h + 1):
             rolled = jnp.roll(a, -j, axis=0)
-            patch = jnp.roll(epad, 8 - j, axis=0)
+            # shift 0 (j == 8) lowers to a zero-size slice Mosaic rejects
+            patch = epad if j == 8 else jnp.roll(epad, 8 - j, axis=0)
             views.append(jnp.where(row >= rb - j, patch, rolled))
     return views
 
 
 def _fp_keys_views(views_bf: list, w_refs, mask: int) -> jnp.ndarray:
     """Base fingerprint over the context views (w_refs: one (256, 128)
-    fp_weights_views block per view)."""
-    lo = hi = None
+    fp_weights_views block per view).
+
+    Each per-view dot is exact in f32 (<= 128 terms of <= 255*255 <
+    2^24), but the CROSS-VIEW accumulation must be integer: summed in
+    f32, three or more views of near-max bytes exceed 2^24 (m=513
+    sigma=256 all-0xFF windows reach 17.3M) and round at ulp=2, breaking
+    the key mod 2^16 and silently rejecting true matches.  int32
+    accumulation with wraparound is exact mod-2^16 arithmetic, the same
+    argument as _fp_keys_mxu's per-part accumulation."""
+    acc = None
     for v, w in zip(views_bf, w_refs):
-        l = jnp.dot(v, w[:LANES], preferred_element_type=jnp.float32)
-        h_ = jnp.dot(v, w[LANES:], preferred_element_type=jnp.float32)
-        lo = l if lo is None else lo + l
-        hi = h_ if hi is None else hi + h_
-    return (lo.astype(jnp.int32) + (hi.astype(jnp.int32) << 8)) & mask
+        lo = jnp.dot(v, w[:LANES], preferred_element_type=jnp.float32)
+        hi = jnp.dot(v, w[LANES:], preferred_element_type=jnp.float32)
+        t = lo.astype(jnp.int32) + (hi.astype(jnp.int32) << 8)
+        acc = t if acc is None else acc + t
+    return acc & mask
 
 
 def _candidates_flat(a_ref, edge_ref, bitmap_refs, w_refs, *, m, n_stages,
