@@ -23,13 +23,29 @@ rng = np.random.default_rng(987)
 fails = 0
 for trial in range(60):
     sigma = int(rng.choice([2, 4, 8, 20, 128, 256]))
-    m = int(rng.choice([3, 4, 6, 8, 12, 16, 24, 32, 48, 64]))
-    p = int(rng.integers(1, 200))
-    n = int(rng.integers(m, 50_000))
-    frac = float(rng.uniform(0, 1))
-    ab = Alphabet.of_size(sigma)
-    text = datagen.generate_text(n, ab, seed=trial)
-    pats = datagen.generate_patterns(text, p, m, ab, frac_present=frac, seed=trial + 1)
+    if trial % 7 == 6:
+        # adversarial corner: long patterns x near-max byte values — the
+        # regime where cross-view f32 fp-key accumulation silently broke
+        # (see pallas_filter._fp_keys_views; caught round 4).  Text drawn
+        # from the top two code points so per-view matmul sums are maximal.
+        m = int(rng.choice([150, 300, 513, 700, 1024]))
+        n = int(rng.integers(4 * m, 60_000))
+        p = int(rng.integers(1, 40))
+        ab = Alphabet.of_size(sigma)
+        text = rng.choice(
+            np.array([max(sigma - 2, 0), sigma - 1], np.uint8), n)
+        from tpu_smatcher.core.patterns import PatternSet
+        starts = rng.integers(0, n - m + 1, p)
+        pats = PatternSet(np.stack([text[s:s + m] for s in starts]), ab)
+    else:
+        m = int(rng.choice([3, 4, 6, 8, 12, 16, 24, 32, 48, 64]))
+        p = int(rng.integers(1, 200))
+        n = int(rng.integers(m, 50_000))
+        frac = float(rng.uniform(0, 1))
+        ab = Alphabet.of_size(sigma)
+        text = datagen.generate_text(n, ab, seed=trial)
+        pats = datagen.generate_patterns(text, p, m, ab, frac_present=frac,
+                                         seed=trial + 1)
     truth = datagen.count_matches(text, pats)
     truth_nat = datagen.count_matches(text, pats, prefer_native=True)
     ok = True
