@@ -1,5 +1,5 @@
 """Probe: pattern-length scaling of the fast path (DNA p=10k, 256 MiB),
-pipelined; covers the m <= 513 Pallas range plus the XLA fallback beyond."""
+pipelined; covers the m <= 1025 Pallas range."""
 import sys
 import time
 
@@ -20,7 +20,7 @@ def main():
     ab = Alphabet.dna()
     text = datagen.generate_text(n, ab, seed=7)
     tdev = jax.device_put(jnp.asarray(text))
-    for m in (8, 16, 32, 64, 128, 256, 512):
+    for m in (8, 16, 32, 64, 128, 256, 512, 1024):
         pats = datagen.generate_patterns(text, p, m, ab, frac_present=0.5,
                                          seed=100 + m)
         nn = 1 << 22
