@@ -86,3 +86,29 @@ def test_roundtrip_dict(tmp_path, setup):
     assert set(out) == {"ac", "wm"}
     _assert_equal_dc(d["ac"], out["ac"])
     _assert_equal_dc(d["wm"], out["wm"])
+
+
+def test_roundtrip_wide_stages_and_attribution(tmp_path):
+    """Round-4 FastTables fields survive the npz round trip: wide-stage
+    derivation constants (stage_cd as JSON lists -> cd() re-tuples them)
+    and the device-side attribution tables (orig_ids / wid_pids /
+    n_orig), so a loaded scanner's count_per_pattern matches the
+    builder's exactly."""
+    import numpy as np
+    ab = Alphabet.dna()
+    text = datagen.generate_text(1 << 16, ab, seed=31)
+    pats = datagen.generate_patterns(text, 300, 16, ab, frac_present=0.5,
+                                     seed=32)
+    truth = datagen.count_matches(text, pats)
+    ft = build_fast(pats.codes, 4, stage_bits=131072)
+    p = tmp_path / "wide.npz"
+    save_tables(p, ft)
+    ft2 = load_tables(p)
+    assert ft2.stage_bits == 131072
+    assert ft2.cd(4) == ft.cd(4)
+    s1 = FastScanner(ft, backend="xla", tile=1 << 12)
+    s2 = FastScanner(ft2, backend="xla", tile=1 << 12)
+    assert s1.count(text) == s2.count(text) == truth
+    h1, h2 = s1.count_per_pattern(text), s2.count_per_pattern(text)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    assert int(np.asarray(h2).sum()) == truth
