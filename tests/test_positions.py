@@ -296,3 +296,35 @@ def test_count_per_pattern_mixed():
             assert per[i] == brute
         else:
             assert per[i] == 0
+
+
+def test_count_per_pattern_dense_wid_histogram():
+    """Match-dense exact-tier corpora route count_per_pattern through the
+    enumeration-free wid-histogram path (fast._exact_hist: one device sort
+    of the window ids, counts pushed through the wid->pid table) instead
+    of cap-sized attribution pieces — 61 s -> 0.48 s on the reference's
+    13.4M-match A_thaliana.fna p=8000 cell.  Parity with both the piece
+    path and the host oracle, including duplicate-pattern credit."""
+    ab = Alphabet.dna()
+    text = datagen.generate_text(100_000, ab, seed=91)
+    pats = datagen.generate_patterns(text, 400, 8, ab, frac_present=0.9,
+                                     seed=92)
+    # duplicate a pattern: credit must go to the smallest original id
+    codes = np.array(pats.codes)
+    codes[37] = codes[11]
+    from tpu_smatcher.core.patterns import PatternSet
+    pats = PatternSet(codes, ab)
+    truth = datagen.count_matches(text, pats)
+    dense = make_fast(pats, backend="xla", tile=1 << 13, cap=256)
+    assert truth > dense.cap // 2          # the dense branch is taken
+    per = dense.count_per_pattern(text)
+    assert int(per.sum()) == truth
+    assert per[37] == 0                    # duplicate credited to id 11
+    sparse = make_fast(pats, backend="xla", tile=1 << 13)
+    np.testing.assert_array_equal(
+        np.asarray(sparse.count_per_pattern(text)), np.asarray(per))
+    starts = np.nonzero(datagen.match_starts(text, pats))[0]
+    ids = datagen.match_ids(text, starts, pats)
+    want = np.zeros(pats.p_size, np.int64)
+    np.add.at(want, ids, 1)
+    np.testing.assert_array_equal(np.asarray(per), want)
