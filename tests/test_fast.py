@@ -252,3 +252,91 @@ def test_flat_layout_multi_view_long_m():
         text, pats = make_case(4, m, 16, 70_000, seed=24)
         eng = make_fast(pats, backend="pallas", interpret=True)
         assert eng.count(text) == datagen.count_matches(text, pats)
+
+
+# ---------------------------------------------------------------------------
+# two-phase compaction cascade (pallas_filter.cascade_pallas)
+# ---------------------------------------------------------------------------
+
+def _wide_case(frac_present, n=1 << 16, p=3000, m=32, seed=5):
+    """A pattern set dense enough (vs a forced 32768-bit stage space) that
+    the router picks the cascade — the CPU-scale stand-in for the
+    reference's saturating p >= 30k sets (main.c:372-373)."""
+    from tpu_smatcher.ops.fast import build_fast
+    ab = Alphabet.of_size(4)
+    text = datagen.generate_text(n, ab, seed=seed)
+    pats = datagen.generate_patterns(text, p, m, ab,
+                                     frac_present=frac_present, seed=seed + 1)
+    ft = build_fast(pats.codes, pats.sigma, stage_bits=32768)
+    return text, pats, ft
+
+
+def test_cascade_kernel_parity():
+    """cascade_pallas + compact_valrows + verify == ground truth on a
+    match-sparse corpus (the clean, no-overflow path)."""
+    import jax.numpy as jnp
+    from tpu_smatcher.ops import pallas_filter as pf
+    from tpu_smatcher.ops.fast import (compact_valrows, k1_for, stages_for,
+                                       verify_chunked, words_len)
+    text, pats, ft = _wide_case(frac_present=0.02)
+    n, m = len(text), pats.m
+    truth = datagen.count_matches(text, pats)
+    k1 = k1_for(ft)
+    assert k1 is not None and k1 >= 1
+    cap = 1 << 14
+    kt = min(max(stages_for(ft, n, cap), k1 + 1), len(ft.bitmaps))
+    packed, tw, ovf = pf.cascade_pallas(
+        jnp.asarray(text), ft.bitmaps[:kt], m=m, n=n, k1=k1, n_stages=kt,
+        cd=ft.cd(kt), nw_min=words_len(n, ft.words), interpret=True)
+    assert int(np.asarray(ovf)[0, 0]) == 0
+    idxs, o, n_cand = compact_valrows(
+        packed, caprows=min(cap, packed.shape[0]), cap=cap)
+    assert int(o) == 0
+    c = verify_chunked(tw, idxs, n_cand, ft, n_starts=n - m + 1)
+    assert int(c) == truth
+
+
+def test_cascade_scanner_routing_and_fallback():
+    """The router picks the cascade for a saturating stage space; a
+    match-dense corpus overflows the per-row slots and the async retry
+    ladder still returns the exact count (totality)."""
+    import jax.numpy as jnp
+    from tpu_smatcher.ops.fast import FastScanner, stages_for
+    # sparse: clean cascade path end-to-end
+    text, pats, ft = _wide_case(frac_present=0.02)
+    eng = FastScanner(ft, cap=1 << 14, backend="pallas", interpret=True)
+    path, _, _ = eng._pick_path(len(text), stages_for(ft, len(text), eng.cap))
+    assert path == "cascade"
+    assert eng.count(text) == datagen.count_matches(text, pats)
+    assert eng._retries == 0
+    # dense: per-packed-row budget overflows -> exact via the ladder
+    text2, pats2, ft2 = _wide_case(frac_present=0.5)
+    eng2 = FastScanner(ft2, cap=1 << 14, backend="pallas", interpret=True)
+    assert eng2.count(text2) == datagen.count_matches(text2, pats2)
+
+
+def test_compact_valrows():
+    """compact_valrows == numpy reference on random sparse position rows,
+    including the row-slot overflow flag."""
+    import jax.numpy as jnp
+    from tpu_smatcher.ops.fast import compact_valrows
+    rng = np.random.default_rng(11)
+    R = 64
+    vals = np.full((R, 128), -1, np.int32)
+    for r in range(R):
+        k = rng.integers(0, 6)
+        lanes = rng.choice(128, size=k, replace=False)
+        vals[r, lanes] = rng.integers(0, 1 << 20, size=k)
+    idxs, o, n_cand = compact_valrows(jnp.asarray(vals), caprows=R,
+                                      cap=256, row_slots=8)
+    want = vals[vals >= 0]
+    got = np.asarray(idxs)
+    got = got[got >= 0]
+    assert int(o) == 0
+    assert int(n_cand) == want.size
+    assert sorted(got.tolist()) == sorted(want.tolist())
+    # a row with more than row_slots live lanes must flag overflow
+    vals[3, :20] = np.arange(20)
+    _, o2, _ = compact_valrows(jnp.asarray(vals), caprows=R, cap=256,
+                               row_slots=8)
+    assert int(o2) == 1

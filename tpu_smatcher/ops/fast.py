@@ -231,6 +231,32 @@ def stages_for_block(ft: FastTables, block_positions: int,
     return k
 
 
+def k1_for(ft: FastTables, lam_row: float = 4.0) -> int | None:
+    """Phase-1 depth of the two-phase cascade (pallas_filter.cascade_pallas):
+    the smallest dense stage count whose expected survivors per 128-lane
+    row fit the per-row slot budget with margin — 128 * prod(fills) * cf1
+    <= lam_row, where cf1 is the measured stage-correlation of the head
+    (scripts/probe_cascade.py, 256 MiB DNA m=32): 16-bit-space tables use
+    the (0,0)/(1,0) STAGE_CD head whose joint pass rate runs ~2.07x the
+    independence product; WIDE tables are all triple-mixed and measure
+    1.0-1.06x.  lam_row=4.0 reproduces the measured zero-overflow depths
+    (k1=6 at p=100k, k1=8 at p=30k, 16-slot budget, max row 14).  Returns
+    None when no built prefix meets the budget (callers then use the
+    mask/slot paths); per-row overflow at runtime falls back exactly and
+    bumps the depth (_async_retry)."""
+    if ft.exact:
+        return None
+    cf1 = 2.5 if ft.stage_bits <= BITMAP_BITS else 1.3
+    fills = ft.stage_fills or (ft.density,) * len(ft.bitmaps)
+    prod = 1.0
+    # never deeper than the BUILT stages (tests truncate ft.bitmaps)
+    for k in range(1, min(len(fills), len(ft.bitmaps)) + 1):
+        prod *= fills[k - 1]
+        if 128 * prod * cf1 <= lam_row:
+            return k
+    return None
+
+
 def build_fast(patterns: np.ndarray, sigma: int, *,
                n_stages: int | None = None,
                stage_bits: int | None = None) -> FastTables:
@@ -569,6 +595,48 @@ def compact_slots(slotmat, *, slots: int, cap: int):
     sel = nonzero_scatter(pos >= 0, cap, pos.shape[0])
     live = sel < pos.shape[0]
     idxs = jnp.where(live, pos[jnp.minimum(sel, pos.shape[0] - 1)], -1)
+    return idxs, overflow, n_cand
+
+
+@functools.partial(jax.jit, static_argnames=("caprows", "cap", "row_slots"))
+def compact_valrows(vals2d, *, caprows: int = 1 << 16, cap: int = DEFAULT_CAP,
+                    row_slots: int = 16):
+    """Hierarchical compaction of a POSITION-VALUED sparse matrix: vals2d
+    (R', 128) int32 holds candidate positions directly (-1 = empty) — the
+    cascade kernel's packed output, where a row covers 1024 original text
+    positions.  Same structure as compact_mask, but the k-th live lane's
+    VALUE is extracted with a masked-rank sum (the slot_row g1 trick; no
+    gather, positions < 2^31-1 so v+1 cannot wrap).
+
+    Returns (idxs (cap,) positions densely packed then -1 padded,
+    overflow, n_cand — the TRUE candidate total gating verify_chunked)."""
+    R = vals2d.shape[0]
+    bits2d = (vals2d >= 0).astype(jnp.int32)
+    row_counts = jnp.sum(bits2d, axis=1)
+    n_rows = jnp.sum(row_counts > 0, dtype=jnp.int32)
+    n_cand = jnp.sum(row_counts, dtype=jnp.int32)
+    rows = nonzero_scatter(row_counts > 0, caprows, R)
+    row_live = rows < R
+    rows_c = jnp.minimum(rows, R - 1)
+    vals = jnp.take(vals2d, rows_c, axis=0)          # (caprows, 128)
+    bits = (vals >= 0).astype(jnp.int32)
+    cum = jnp.cumsum(bits, axis=1)
+    count = cum[:, -1]
+    row_ovf = jnp.any(row_live & (count > row_slots))
+    rank = cum - 1                                   # live lanes' in-row rank
+    v1 = jnp.where(bits > 0, vals + 1, 0)
+    slot_vals, slot_valid = [], []
+    for k in range(row_slots):
+        vk = jnp.sum(jnp.where((rank == k) & (bits > 0), v1, 0), axis=1) - 1
+        slot_vals.append(vk)
+        slot_valid.append(row_live & (k < count))
+    pos = jnp.stack(slot_vals, 1).reshape(-1)
+    pv = jnp.stack(slot_valid, 1).reshape(-1)
+    sel = nonzero_scatter(pv, cap, pos.shape[0])
+    sel_live = sel < pos.shape[0]
+    idxs = jnp.where(sel_live, pos[jnp.minimum(sel, pos.shape[0] - 1)], -1)
+    overflow = (jnp.int32(n_rows > caprows) | jnp.int32(row_ovf)
+                | jnp.int32(n_cand > cap))
     return idxs, overflow, n_cand
 
 
@@ -1070,34 +1138,89 @@ class FastScanner:
                                           sigma=ft.sigma, n=n,
                                           interpret=self.interpret),
                     jnp.int32(0))
-        k = stages_for(ft, n, self.cap)
-        kb = stages_for_block(ft, pf.SLOT_RB * 128)
+        return self._fp_device_count(text)
+
+    def _pick_path(self, n, k):
+        """Route an fp-tier device scan among the fused slot path, the
+        two-phase cascade and the mask pipeline by estimated cost in
+        BANK-GATHER UNITS (docs/DESIGN.md measured ~0.70 ms per unit per
+        2^27 positions, invariant across p and bank count):
+
+          slot:    k_s stages x B banks dense + ~8 (in-kernel slots/words)
+          mask:    k stages x B dense + ~55 (mask round-trip, R-scatter
+                   compaction, words re-read)
+          cascade: k1 dense stages + ~11 (per-row compaction + repack,
+                   probe_rowpack.py) + remaining stages at B/8 on the
+                   packed eighth + ~8
+
+        The slot path keeps its feasibility conditions (per-block budget
+        reachable, extra stages bounded); the cascade needs a phase-1
+        depth (k1_for) and at least one phase-2 stage.  Measured A/B on
+        256 MiB DNA m=32 (r5): cascade 1.87 GB/s at p=30k (slot 1.27),
+        0.78 at p=100k (mask 0.50), 3.69 at p=10k/B=4 (slot 3.47) — the
+        model's ranking matched the measurement at every p; at B <= 2 the
+        ~19-unit cascade overhead exceeds any possible stage saving and
+        the model keeps the slot path.  Returns (path, k1, k_total)."""
+        from tpu_smatcher.ops import pallas_filter as pf
+        ft = self.ft
+        nb = len(ft.bitmaps)
         B = ft.stage_bits // 4096
-        if kb > len(ft.bitmaps) or (kb - k) * B > 48:
-            # mask+compact path when the slot kernel can't or SHOULDN'T
-            # run: either all built stages miss the per-block slot budget
-            # (saturating sets), or meeting it costs more extra filter
-            # stages than the mask pipeline's whole overhead — at p=100k
-            # the 16-slot budget wants kb-k = 4 extra 32-bank stages
-            # (~128 bank-gather units/position) while the mask write +
-            # compaction run ~55 units; threshold 48 keeps every p <= 30k
-            # config on the fused slot path (measured optimum there)
-            c, o = self._mask_verify(
-                text, k,
-                caprows=min(self.cap, max(self.caprows, 1 << 17)),
-                row_slots=self.row_slots)
-        else:
+        kb = stages_for_block(ft, pf.SLOT_RB * 128)
+        costs = {"mask": (k * B + 55, None, k)}
+        if kb <= nb and (kb - k) * B <= 48:
+            ks = min(max(k, kb) + self._k_extra, nb)
+            costs["slot"] = (ks * B + 8, None, ks)
+        k1 = k1_for(ft)
+        if k1 is not None and nb >= 2:
+            k1 = max(1, min(k1 + self._k_extra, nb - 1))
+            kt = min(max(k, k1 + 1), nb)
+            if kt > k1:
+                costs["cascade"] = (k1 * B + 11 + (kt - k1) * B / 8 + 8,
+                                    k1, kt)
+        path = min(costs, key=lambda p: costs[p][0])
+        return path, costs[path][1], costs[path][2]
+
+    def _fp_device_count(self, text):
+        """Traceable (count, overflow) fp-tier device scan over the routed
+        path (_pick_path).  Any overflow — candidate cap, per-block slots,
+        cascade phase-1 rows — surfaces in the flag; callers fall back to
+        the exact ladder, never undercount."""
+        from tpu_smatcher.ops import pallas_filter as pf
+        ft = self.ft
+        n = text.shape[0]
+        k = stages_for(ft, n, self.cap)
+        path, k1, kt = self._pick_path(n, k)
+        if path == "cascade":
+            packed, tw, ovf = pf.cascade_pallas(
+                text, ft.bitmaps[:kt], m=ft.m, n=n, k1=k1, n_stages=kt,
+                cd=ft.cd(kt), nw_min=words_len(n, ft.words),
+                interpret=self.interpret)
+            idxs, o, n_cand = compact_valrows(
+                packed, caprows=min(self.cap, int(packed.shape[0])),
+                cap=self.cap)
+            o = o | ovf[0, 0]
+            c = verify_chunked(tw, idxs, n_cand, ft, n_starts=n - ft.m + 1)
+        elif path == "slot":
             # fused in-kernel compaction + word view: the filter kernel
             # itself emits BLOCK_SLOTS candidate positions per block and
             # the verify word view — no (R, 128) mask round-trip through
             # HBM, no R-element scatter, no words_view re-read of the text
-            k = min(max(k, kb) + self._k_extra, len(ft.bitmaps))
             slotmat, tw = pf.filter_slots_pallas(
-                text, ft.bitmaps[:k], m=ft.m, n=n, n_stages=k, cd=ft.cd(k),
-                nw_min=words_len(n, ft.words), interpret=self.interpret)
+                text, ft.bitmaps[:kt], m=ft.m, n=n, n_stages=kt,
+                cd=ft.cd(kt), nw_min=words_len(n, ft.words),
+                interpret=self.interpret)
             idxs, o, n_cand = compact_slots(slotmat, slots=pf.BLOCK_SLOTS,
                                             cap=self.cap)
             c = verify_chunked(tw, idxs, n_cand, ft, n_starts=n - ft.m + 1)
+        else:
+            # mask+compact path when nothing cheaper is feasible: all
+            # built stages miss the per-block slot budget, or meeting it
+            # costs more extra stages than the mask pipeline's whole
+            # overhead, and the cascade has no viable phase split
+            c, o = self._mask_verify(
+                text, k,
+                caprows=min(self.cap, max(self.caprows, 1 << 17)),
+                row_slots=self.row_slots)
         return c, jnp.int32(o)
 
     def _ensure_jdevice(self):
@@ -1553,24 +1676,7 @@ class FastScanner:
                                           sigma=ft.sigma, n=n, guard=True,
                                           interpret=self.interpret),
                     jnp.int32(0))
-        k = stages_for(ft, n, self.cap)
-        kb = stages_for_block(ft, pf.SLOT_RB * 128)
-        B = ft.stage_bits // 4096
-        if kb <= len(ft.bitmaps) and (kb - k) * B <= 48:
-            # fused in-kernel compaction + word view (see _device_count);
-            # overflow still rides the psum so distributed scans raise,
-            # never undercount
-            slotmat, tw = pf.filter_slots_pallas(
-                ext, ft.bitmaps[:max(k, kb)], m=ft.m, n=n,
-                n_stages=max(k, kb), cd=ft.cd(max(k, kb)),
-                nw_min=words_len(n, ft.words),
-                interpret=self.interpret)
-            idxs, o, n_cand = compact_slots(slotmat, slots=pf.BLOCK_SLOTS,
-                                            cap=self.cap)
-            c = verify_chunked(tw, idxs, n_cand, ft, n_starts=n - ft.m + 1)
-        else:
-            # big-p mask path (same routing threshold as _device_count)
-            c, o = self._mask_verify(
-                ext, k, caprows=min(self.cap, max(self.caprows, 1 << 17)),
-                row_slots=self.row_slots)
-        return c, jnp.int32(o)
+        # same routed fp paths as _device_count (slot / cascade / mask);
+        # the overflow flag rides the psum so distributed callers detect
+        # shard overflow and re-dispatch (parallel/dist.py's ladder)
+        return self._fp_device_count(ext)

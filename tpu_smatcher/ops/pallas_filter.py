@@ -485,18 +485,25 @@ def _fp_keys_views(views_bf: list, w_refs, mask: int) -> jnp.ndarray:
     return acc & mask
 
 
+def _bases_flat(a_ref, edge_ref, w_refs, *, m, rb, n_bases):
+    """The n_bases base fingerprints of a flat (rb, 128) block: context
+    views from _ctx_views, per-view weight blocks from fp_weights_views."""
+    h = cdiv(max(m - 1, 1), LANES)
+    nv = 1 + h
+    views = _ctx_views(a_ref, edge_ref, rb, h)
+    views_bf = [v.astype(jnp.bfloat16) for v in views]
+    return [_fp_keys_views(views_bf, w_refs[i * nv:(i + 1) * nv], 0xFFFF)
+            for i in range(n_bases)]
+
+
 def _candidates_flat(a_ref, edge_ref, bitmap_refs, w_refs, *, m, n_stages,
                      n_starts, rb, cd=None):
     """_candidates over the flat layout: context views from _ctx_views,
     base fingerprints from per-view weight blocks."""
     if cd is None:
         cd = STAGE_CD[:n_stages]
-    h = cdiv(max(m - 1, 1), LANES)
-    nv = 1 + h
-    views = _ctx_views(a_ref, edge_ref, rb, h)
-    views_bf = [v.astype(jnp.bfloat16) for v in views]
-    bases = [_fp_keys_views(views_bf, w_refs[i * nv:(i + 1) * nv], 0xFFFF)
-             for i in range(n_base_fps(n_stages, cd))]
+    bases = _bases_flat(a_ref, edge_ref, w_refs, m=m, rb=rb,
+                        n_bases=n_base_fps(n_stages, cd))
     smask = bitmap_refs[0].shape[0] * 4096 - 1
     cand = None
     for s in range(n_stages):
@@ -650,6 +657,187 @@ def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
         compiler_params=VMEM_LIMIT,
     )(rows, rows, *bitmaps, *weights, tril, triu)
     return slotmat.reshape((R // rb) * halves, LANES), words.reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _triu_weights():
+    """(128, 128) strict-upper-triangular ones, bf16 (numpy: lru_cached and
+    possibly first built under a jit trace) — the per-row rank matmul of
+    the cascade kernel."""
+    return np.triu(np.ones((LANES, LANES), np.float32), k=1).astype(
+        jnp.bfloat16)
+
+
+def _rowpack(cand, vals, triu_ref, *, rb, slots):
+    """IN-KERNEL per-row slot extraction + 8:1 lane repack — the cascade's
+    compaction primitive (measured ~8 ms / 2^27 positions,
+    scripts/probe_rowpack.py).
+
+    cand: (rb, 128) int32 0/1.  For every 128-lane row, the first `slots`
+    candidates' values from each array in `vals` are packed so that row
+    r's slot k lands at packed[r // 8, 16*(r % 8) + k] — 8 consecutive
+    rows fold into one 128-lane row (slots = 16).
+
+    Per-row candidate rank is ONE strict-TRIU MXU matmul (lane-exclusive
+    prefix; 0/1 operands exact in bf16).  The slot's source lane comes
+    from `slots` masked reductions; values move with 8 grouped
+    take_along_axis gathers per array on the (rb/8, 8, 128) sublane-split
+    reshape — the gather index is built directly at its REPACKED lane
+    (lane 16*(row%8)+k), so no lane rolls are needed.
+
+    Returns (packed values list, valid (rb/8, 128) bool slot-occupied
+    mask, overflow scalar: any row had > slots candidates — dropped
+    survivors, the caller must treat the scan as overflowed)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 0)
+    cf = cand.astype(jnp.bfloat16)
+    rank = jnp.dot(cf, triu_ref[:],
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    cnt = jnp.sum(cand, axis=1, dtype=jnp.int32).reshape(rb, 1)
+    rankv = jnp.where(cand > 0, rank, LANES + 1)
+    lrel = lane - ((row & 7) << 4)          # slot lane in the packed row
+    idx = jnp.zeros((rb, LANES), jnp.int32)
+    for k in range(slots):
+        lane_k = jnp.sum(jnp.where(rankv == k, lane, 0), axis=1,
+                         dtype=jnp.int32).reshape(rb, 1)
+        idx = jnp.where(lrel == k, lane_k, idx)
+    rb8 = rb // 8
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (rb8, LANES), 1)
+    grp = lane8 >> 4
+    idx3 = idx.reshape(rb8, 8, LANES)
+    cnt3 = jnp.broadcast_to(cnt, (rb, LANES)).reshape(rb8, 8, LANES)
+    cntp = jnp.zeros((rb8, LANES), jnp.int32)
+    for j in range(8):
+        cntp = jnp.where(grp == j, cnt3[:, j, :], cntp)
+    valid = (lane8 & 15) < jnp.minimum(cntp, slots)
+    packed = []
+    for v in vals:
+        v3 = v.reshape(rb8, 8, LANES)
+        acc = jnp.zeros((rb8, LANES), jnp.int32)
+        for j in range(8):
+            g = jnp.take_along_axis(v3[:, j, :], idx3[:, j, :], axis=1)
+            acc = jnp.where(grp == j, g, acc)
+        packed.append(acc)
+    return packed, valid, jnp.any(cnt > slots)
+
+
+def _cascade_kernel(a_ref, edge_ref, *refs, m, k1, n_stages, n_starts, rb,
+                    nv, slots, cd):
+    """Two-phase filter + in-kernel compaction cascade (DESIGN.md's
+    quantified large-p headroom): phase 1 runs k1 stages DENSE over every
+    position, survivors are per-row compacted and 8:1 lane-repacked
+    carrying their base fingerprints (fp0|fp1 packed in one int32, fp2 in
+    another — phase-2 keys need no recomputation from text), and the
+    remaining stages run on the packed EIGHTH, costing B/8 bank-gather
+    units each instead of B.
+
+    Output: (rb/8, 128) int32 global candidate positions (-1 empty) per
+    block — compacted by fast.compact_valrows outside — plus the fused
+    word view and a per-scan overflow flag (any phase-1 row with > slots
+    survivors: dropped candidates, the caller must fall back)."""
+    bitmap_refs = refs[:n_stages]
+    w_refs = refs[n_stages:n_stages + 3 * nv]
+    triu_ref = refs[n_stages + 3 * nv]
+    packed_ref = refs[n_stages + 3 * nv + 1]
+    words_ref = refs[n_stages + 3 * nv + 2]
+    ovf_ref = refs[n_stages + 3 * nv + 3]
+    bases = _bases_flat(a_ref, edge_ref, w_refs, m=m, rb=rb, n_bases=3)
+    smask = bitmap_refs[0].shape[0] * 4096 - 1
+    cand = None
+    for s in range(k1):
+        hit = _bitmap_lookup(bitmap_refs[s],
+                             derived_keys(bases, cd[s], smask), rb)
+        cand = hit if cand is None else (cand & hit)
+    gpos = _window_positions(rb)
+    cand = jnp.where(gpos < n_starts, cand, 0)
+    packed, valid, ovf = _rowpack(
+        cand, [gpos, bases[0] | (bases[1] << 16), bases[2]], triu_ref,
+        rb=rb, slots=slots)
+    # (x >> 16) & 0xFFFF recovers fp1 regardless of the int32 sign bit
+    fps = [packed[1] & 0xFFFF, (packed[1] >> 16) & 0xFFFF, packed[2]]
+    cand2 = valid
+    for s in range(k1, n_stages):
+        hit = _bitmap_lookup(bitmap_refs[s],
+                             derived_keys(fps, cd[s], smask), rb // 8)
+        cand2 = cand2 & (hit > 0)
+    packed_ref[:] = jnp.where(cand2, packed[0], -1)
+    emit_words_flat(a_ref, words_ref, rb=rb)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ovf_ref[0, 0] = 0
+
+    ovf_ref[0, 0] = jnp.maximum(ovf_ref[0, 0], ovf.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n", "k1", "n_stages",
+                                             "slots", "nw_min", "rb", "cd",
+                                             "interpret"))
+def cascade_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
+                   k1: int, n_stages: int, slots: int = BLOCK_SLOTS,
+                   nw_min: int = 0, rb: int = FILTER_RB,
+                   cd: tuple | None = None, interpret: bool = False):
+    """((R/8, 128) int32 packed candidate positions (-1 empty), word view,
+    (1, 1) int32 phase-1 overflow flag).
+
+    The two-phase cascade form of filter_slots_pallas for saturating
+    pattern sets (B >= 8 bank stages): k1 dense stages, per-row
+    compaction + 8:1 repack, stages [k1, n_stages) on the packed eighth.
+    Flat (rows, 128) layout, zero-copy when block-aligned — layout logic
+    identical to filter_slots_pallas.  Compact the packed output with
+    fast.compact_valrows; a set overflow flag means phase-1 rows dropped
+    candidates and the caller MUST fall back (counts stay total)."""
+    assert cd is not None and len(cd) >= n_stages and 0 < k1 < n_stages
+    B = int(bitmaps[0].shape[0])
+    # VMEM stack: k1 dense stages dominate; phase-2 temps are 1/8-height
+    rb = filter_rb(k1 + max(1, (n_stages - k1 + 7) // 8), B, rb)
+    n_starts = max(0, n - m + 1)
+    h = cdiv(max(m - 1, 1), LANES)
+    nv = 1 + h
+    nb8 = rb // 8
+    R0 = max(1, cdiv(n_starts, LANES))
+    R0 = cdiv(R0, rb) * rb
+    if n == R0 * LANES and int(text.shape[0]) == n:
+        R = R0
+        rows = text.reshape(R, LANES)
+        last = R // 8 - 1
+        edge_map = lambda i: (jnp.minimum(i * nb8 + nb8, last), 0)
+    else:
+        R = max(R0, cdiv(cdiv(nw_min, LANES // 4), rb) * rb)
+        padded = jnp.zeros(((R + 8) * LANES,), jnp.uint8).at[:n].set(text[:n])
+        rows = padded.reshape(R + 8, LANES)
+        edge_map = lambda i: (i * nb8 + nb8, 0)
+    weights = tuple(w for i in range(3)
+                    for w in fp_weights_views(FP_MULTS[i], m))
+    triu = _triu_weights()
+    kern = functools.partial(_cascade_kernel, m=m, k1=k1, n_stages=n_stages,
+                             n_starts=n_starts, rb=rb, nv=nv, slots=slots,
+                             cd=cd)
+    packed, words, ovf = pl.pallas_call(
+        kern,
+        grid=(R // rb,),
+        in_specs=[pl.BlockSpec((rb, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, LANES), edge_map, memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for b in bitmaps]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in weights]
+        + [pl.BlockSpec(triu.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((rb // 8, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((rb // 4, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((R // 8, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((R // 4, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+        interpret=interpret,
+        compiler_params=VMEM_LIMIT,
+    )(rows, rows, *bitmaps, *weights, triu)
+    return packed, words.reshape(-1), ovf
 
 
 #: rows per block for the exact COUNT kernel: larger blocks amortize the
