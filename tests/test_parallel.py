@@ -169,3 +169,50 @@ def test_sigma256_zero_pad_pattern_subtracted():
     mesh = make_mesh(8)
     dc = make_distributed("wm", pats, mesh, tile=1 << 12)
     assert dc.count(text) == expected
+
+
+def test_distributed_total_on_match_dense_overflow():
+    """A match-dense corpus that trips the default candidate cap must count
+    EXACTLY through the distributed retry ladder — no OverflowError (the
+    reference's MPI_Reduce sums unconditionally at any density,
+    main.c:656).  The raw flag stays observable via count_with_overflow."""
+    from tpu_smatcher.engines import make_fast
+    from tpu_smatcher.parallel.dist import DistributedCounter
+    ab = Alphabet.of_size(4)
+    text = datagen.generate_text(160_000, ab, seed=31)
+    pats = datagen.generate_patterns(text, 32, 16, ab, frac_present=0.5,
+                                     seed=32)
+    # ~200 matches per 16K-position block: far past the per-block slot
+    # budget (overflow flag) yet only ~250 per shard (the dense per-shard
+    # rescan succeeds without the piece loop)
+    text = datagen.plant(text, pats.codes[0],
+                         list(range(0, 160_000 - 16, 80)))
+    expected = datagen.count_matches(text, pats)
+    assert expected > 1024          # dense enough to overflow cap=1024
+    mesh = make_mesh(8)
+    fast = make_fast(pats, backend="pallas", interpret=True, cap=1024)
+    dc = DistributedCounter(fast.core, mesh, m=pats.m, sigma=pats.sigma,
+                            fast=fast)
+    c, o = dc.count_with_overflow(text)
+    assert o, "the raw flag must report the shard overflow"
+    assert dc.count(text) == expected
+    # without a ladder the legacy behavior (raise) is preserved
+    dc_raw = DistributedCounter(fast.core, mesh, m=pats.m, sigma=pats.sigma)
+    with pytest.raises(OverflowError):
+        dc_raw.count(text)
+
+
+def test_distributed_total_piece_fallback():
+    """Density so extreme the dense shard pass also overflows: the piece
+    loop (ladder step 2) must still produce the exact total."""
+    from tpu_smatcher.engines import make_fast
+    from tpu_smatcher.parallel.dist import DistributedCounter
+    ab = Alphabet.dna()
+    pats = PatternSet(np.zeros((1, 16), np.uint8), ab)       # 'A'*16
+    text = np.zeros(120_000, np.uint8)                       # all matches
+    expected = 120_000 - 15
+    mesh = make_mesh(8)
+    fast = make_fast(pats, backend="pallas", interpret=True, cap=1024)
+    dc = DistributedCounter(fast.core, mesh, m=pats.m, sigma=pats.sigma,
+                            fast=fast)
+    assert dc.count(text) == expected

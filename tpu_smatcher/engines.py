@@ -119,13 +119,23 @@ def make_fast(patterns: PatternSet, **opts):
 def make_distributed(name: str, patterns: PatternSet, mesh, **opts):
     """Distributed engine over a 1-D device mesh: tables replicated, text
     sharded with ICI halo exchange, count psum-reduced (parallel/dist.py).
-    On TPU the per-shard scan is the engine's Pallas fast path."""
+    On TPU the per-shard scan is the engine's Pallas fast path; a
+    FastScanner over the same tables rides along as the exact overflow
+    ladder, so distributed counts are TOTAL at any match density (every
+    engine counts the same windows — the shared semantics invariant)."""
     from tpu_smatcher.parallel.dist import DistributedCounter
     from tpu_smatcher.ops.common import active_fastpath
+    from tpu_smatcher.ops.fast import FastScanner
     eng = make_engine(name, patterns, **opts)
     fp = active_fastpath(eng)
     core = fp.core if fp is not None else eng.core
-    return DistributedCounter(core, mesh, m=patterns.m, sigma=patterns.sigma)
+    fast = None
+    if fp is not None:       # caps exist only on the Pallas fast paths
+        fast = (eng if isinstance(eng, FastScanner)
+                else FastScanner(fp.ft, cap=fp.cap,
+                                 interpret=getattr(fp, "interpret", False)))
+    return DistributedCounter(core, mesh, m=patterns.m, sigma=patterns.sigma,
+                              fast=fast)
 
 
 def _device_u8(text):

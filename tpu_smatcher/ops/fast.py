@@ -1286,6 +1286,69 @@ class FastScanner:
             self._match_dense = True
         return c
 
+    def _dense_core(self):
+        """Traceable dense (count, overflow) core carrying the small-piece
+        NO-OVERFLOW guarantee (pieces of <= cap/4 starts cannot overflow):
+        the Pallas dense mask pass on TPU, the tiled XLA core elsewhere.
+        The distributed retry ladder (parallel/dist.py) builds its piece
+        programs from this."""
+        from tpu_smatcher.ops.pallas_filter import max_fast_m
+        if self.backend == "pallas" and self.m <= max_fast_m():
+            return self._device_count_dense
+        return functools.partial(fast_count_core, ft=self.ft,
+                                 tile=self.tile, cap=self.cap)
+
+    def _device_count_traceable(self):
+        """The traceable (count, overflow) scan the async path would jit —
+        the same selection as _ensure_jdevice, unjitted (for callers that
+        embed the scan in a larger traced program, e.g. count_repeat_async
+        and the stacked batch scans)."""
+        from tpu_smatcher.ops.pallas_filter import max_fast_m
+        if not (self.backend == "pallas" and self.m <= max_fast_m()):
+            return functools.partial(fast_count_core, ft=self.ft,
+                                     tile=self.tile, cap=self.cap)
+        if self._match_dense:
+            return self._device_count_dense
+        return self._device_count
+
+    def count_repeat_async(self, text, reps: int) -> ScanFuture:
+        """Scan the SAME text `reps` times back-to-back inside ONE device
+        dispatch (lax.fori_loop over the traceable scan) and return the
+        summed count as a future.
+
+        This is the jitter-proof timing primitive (bench.py): a queued
+        count_async train pays one host dispatch per scan, so its
+        subtraction-based rate can be corrupted by host-side jitter over
+        a tunneled link (BENCH_r04's implausible exact-tier 21.2 GB/s —
+        docs/BENCHMARKS.md); here the device runs reps scans with no host
+        involvement in between, so (t(reps) - t(1)) / (reps - 1) bounds
+        the error by the RTT jitter over a multi-hundred-ms window."""
+        from tpu_smatcher.ops.common import check_count32
+        text = jnp.asarray(text, jnp.uint8)
+        check_count32(int(text.shape[0]))
+        key = (reps, self._k_extra, self._match_dense, self.backend)
+        if not hasattr(self, "_jrepeat"):
+            self._jrepeat = {}
+        if key not in self._jrepeat:
+            fn = self._device_count_traceable()
+
+            @jax.jit
+            def repeat(t):
+                def body(i, carry):
+                    # the barrier makes the text depend on the loop carry,
+                    # so XLA cannot hoist the (otherwise loop-invariant)
+                    # scan out of the loop — without it all reps collapse
+                    # to one scan (measured: q=33 ran in t(q=1))
+                    t2, cprev = jax.lax.optimization_barrier((t, carry[0]))
+                    c, o = fn(t2)
+                    return cprev + c, carry[1] | jnp.int32(o)
+                return jax.lax.fori_loop(0, reps, body,
+                                         (jnp.int32(0), jnp.int32(0)))
+
+            self._jrepeat[key] = repeat
+        c, o = self._jrepeat[key](text)
+        return ScanFuture(c, o)
+
     def count_async(self, text) -> ScanFuture:
         """Dispatch a scan and return immediately; the count stays on the
         device until ScanFuture.result().  Queue many scans back-to-back to

@@ -42,15 +42,32 @@ from tpu_smatcher.parallel.mesh import DATA_AXIS, make_mesh, shard_text
 
 class _DistFuture:
     """In-flight distributed scan: the psum-ed [count, overflow] pair stays
-    on device until result(); overflow raises (distributed scans never
-    undercount silently); a wrap-mode correction callable (sigma = 256)
-    runs at fetch time."""
+    on device until result().  On overflow, result() transparently re-runs
+    the exact distributed retry ladder when one is attached (counts are
+    TOTAL, like single-chip — the reference's MPI path cannot fail on
+    match density: MPI_Reduce sums unconditionally, main.c:656); without a
+    ladder (cores with no overflow fallback) it raises.  A wrap-mode
+    correction callable (sigma = 256) runs at fetch time either way."""
 
-    __slots__ = ("_co", "_corr")
+    __slots__ = ("_co", "_corr", "_retry")
 
-    def __init__(self, co_dev, corr):
+    def __init__(self, co_dev, corr, retry=None):
         self._co = co_dev
         self._corr = corr
+        self._retry = retry
+
+    def result_with_overflow(self) -> tuple[int, bool]:
+        """The RAW (count, overflow) of the single-dispatch scan — no
+        retry; an overflowed count is a truncation lower bound.  The
+        wrap-mode correction still applies (it is exact independently)."""
+        import numpy as np
+        if self._co is None:                 # degenerate: n < m
+            return 0, False
+        co = np.asarray(self._co)
+        c = int(co[0])
+        if self._corr is not None:
+            c -= self._corr()
+        return c, bool(co[1])
 
     def result(self) -> int:
         import numpy as np
@@ -58,9 +75,13 @@ class _DistFuture:
             return 0
         co = np.asarray(self._co)
         if co[1]:
-            raise OverflowError(
-                "candidate cap exceeded on some shard; raise cap=/row_slots=")
-        c = int(co[0])
+            if self._retry is None:
+                raise OverflowError(
+                    "candidate cap exceeded on some shard; raise "
+                    "cap=/row_slots=")
+            c = self._retry()
+        else:
+            c = int(co[0])
         if self._corr is not None:
             c -= self._corr()
         return c
@@ -72,17 +93,28 @@ class DistributedCounter:
     core_fn(local_text_with_halo) -> int32 count over starts
     [0, len - m + 1) of its argument, or (count, overflow) — the overflow
     flag (candidate-cap truncation in the sparse-verify paths) rides the
-    psum so a distributed scan raises instead of silently undercounting.
-    Must be shard_map-traceable.
+    psum; on overflow count() re-runs the exact retry ladder (fast=) so
+    distributed counts are TOTAL, mirroring the reference's
+    unconditional MPI_Reduce (main.c:656).  Must be shard_map-traceable.
     """
 
-    def __init__(self, core_fn, mesh, *, m: int, sigma: int, axis: str = DATA_AXIS):
+    def __init__(self, core_fn, mesh, *, m: int, sigma: int,
+                 axis: str = DATA_AXIS, fast=None):
+        """fast: optional FastScanner over the same pattern set — enables
+        the exact distributed OVERFLOW LADDER (counts become TOTAL like
+        single-chip: dense per-shard re-dispatch, then budget-sized piece
+        scanning; every engine counts the same windows, so the fast tables
+        are a valid fallback for any core).  Without it, a shard overflow
+        raises (portable jnp cores have no overflow and never need it)."""
         self.mesh = mesh
         self._core_fn = core_fn
         self._jcore = None            # lazy: wrap-correction jit (sigma=256)
         self.m = m
         self.sigma = sigma
         self.axis = axis
+        self.fast = fast
+        self._dense_fn = None         # lazy: ladder step 1 (dense shards)
+        self._piece_fns = {}          # (per, owned) -> ladder step 2 fn
         k = mesh.shape[axis]
         halo = m - 1
 
@@ -146,12 +178,116 @@ class DistributedCounter:
         co_dev = self._fn(sharded)
         corr = (functools.partial(self._wrap_overcount, sharded, n)
                 if self.sigma >= 256 else None)
-        return _DistFuture(co_dev, corr)
+        retry = (functools.partial(self._retry_total, sharded)
+                 if self.fast is not None else None)
+        return _DistFuture(co_dev, corr, retry)
 
     def scan_many(self, texts) -> list[int]:
         """Pipelined batch counts over the mesh: all scans dispatch before
         any result is fetched (mirrors FastScanner.scan_many)."""
         return [f.result() for f in [self.count_async(t) for t in texts]]
+
+    def count_with_overflow(self, text, *, n: int | None = None
+                            ) -> tuple[int, bool]:
+        """The RAW single-dispatch (count, overflow flag) — no retry
+        ladder.  An overflowed count is a truncation lower bound; callers
+        wanting totality use count()."""
+        return self.count_async(text, n=n).result_with_overflow()
+
+    def _retry_total(self, sharded) -> int:
+        """Exact distributed count after a shard overflow — the
+        distributed lift of FastScanner's retry ladder (ops/fast.py): the
+        single-chip path made counts TOTAL long ago, and the reference's
+        MPI path cannot fail at any match density (MPI_Reduce sums
+        unconditionally, main.c:656), so a match-dense corpus must count
+        exactly on 8 chips just as it does on one.
+
+        Step 1: re-dispatch with the DENSE per-shard mask pipeline (full
+        cap, deep row slots — FastScanner._device_count_dense under the
+        same halo exchange).  Step 2 (pathological density): scan the
+        shards in budget-sized pieces SPMD, splitting any piece that still
+        overflows — pieces of <= cap/4 starts cannot (same termination
+        argument as FastScanner._count_chunked)."""
+        import numpy as np
+        fast, axis = self.fast, self.axis
+        k = self.mesh.shape[axis]
+        halo = self.m - 1
+        sigma = self.sigma
+        if self._dense_fn is None:
+            dense = fast._dense_core()
+
+            def local_dense(local):
+                ext = exchange_halo(local, axis=axis, k=k, halo=halo,
+                                    sigma=sigma)
+                c, o = dense(ext)
+                return jax.lax.psum(jnp.stack([jnp.int32(c), jnp.int32(o)]),
+                                    axis)
+
+            self._dense_fn = jax.jit(shard_map(
+                local_dense, mesh=self.mesh,
+                in_specs=P(axis), out_specs=P(), check_vma=False))
+        co = np.asarray(self._dense_fn(sharded))
+        if not co[1]:
+            return int(co[0])
+        return self._count_pieces(sharded)
+
+    def _piece_fn(self, per: int, owned: int):
+        """shard_map fn counting piece starts [off, off+owned) of every
+        device's shard with the dense core; per-device (count, overflow)
+        returned along the mesh axis (summed on the host — a second
+        collective would make slow shards trip the rendezvous timeout,
+        see DistributedPositions)."""
+        if (per, owned) in self._piece_fns:
+            return self._piece_fns[(per, owned)]
+        fast, axis = self.fast, self.axis
+        k = self.mesh.shape[axis]
+        halo = self.m - 1
+        sigma = self.sigma
+
+        dense = fast._dense_core()
+
+        def local_piece(local, off):
+            ext = exchange_halo(local, axis=axis, k=k, halo=halo,
+                                sigma=sigma)
+            piece = jax.lax.dynamic_slice(ext, (off,), (owned + halo,))
+            c, o = dense(piece)
+            return (jnp.reshape(jnp.int32(c), (1,)),
+                    jnp.reshape(jnp.int32(o), (1,)))
+
+        fn = jax.jit(shard_map(
+            local_piece, mesh=self.mesh, in_specs=(P(axis), P()),
+            out_specs=(P(axis), P(axis)), check_vma=False))
+        self._piece_fns[(per, owned)] = fn
+        return fn
+
+    def _count_pieces(self, sharded, *, depth: int = 4) -> int:
+        """Ladder step 2: every device scans its shard in (owned + halo)
+        pieces SPMD (all devices at the same offsets), overflowing pieces
+        split until they fit (<= cap/4 starts cannot overflow the dense
+        pass)."""
+        import numpy as np
+        per = sharded.shape[0] // self.mesh.shape[self.axis]
+        min_chunk = max(self.fast.cap // 4, 1)
+        work = [(0, per)]
+        inflight, total = [], 0
+        while work or inflight:
+            while work and len(inflight) < depth:
+                off, owned = work.pop()
+                fn = self._piece_fn(per, owned)
+                c_d, o_d = fn(sharded, jnp.int32(off))
+                inflight.append((off, owned, c_d, o_d))
+            off, owned, c_d, o_d = inflight.pop(0)
+            if int(np.asarray(o_d).sum()):
+                if owned <= min_chunk:
+                    raise AssertionError(
+                        "distributed count piece overflowed below the "
+                        "guaranteed size — this is a bug")
+                split = max(min_chunk, owned // 2)
+                for s in range(off, off + owned, split):
+                    work.append((s, min(split, off + owned - s)))
+            else:
+                total += int(np.asarray(c_d).sum())
+        return total
 
     def _wrap_overcount(self, sharded, n: int) -> int:
         """Exact matches among the invalid global starts [n-m+1, N) in wrap
@@ -181,6 +317,8 @@ class DistributedCounter:
         co = res if isinstance(res, tuple) else (res, jnp.int32(0))
         c, o = int(np.asarray(co[0])), int(np.asarray(co[1]))
         if o:
+            if self.fast is not None:     # total, via the single-chip ladder
+                return self.fast._count_retry(jnp.asarray(wrap, jnp.uint8))
             raise OverflowError(
                 "candidate cap exceeded in the wrap-correction scan")
         return c
