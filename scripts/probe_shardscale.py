@@ -1,30 +1,32 @@
-"""Shard-size scaling curve on the real chip (VERDICT r3 item 5).
+"""Shard-size scaling curve on the real chip (VERDICT r3 item 5 / r4 item 6).
 
 Multi-chip scans give each device a 1/k shard plus an (m-1)-byte ppermute
 halo (parallel/dist.py); the per-device compute is exactly a fast-path scan
 of shard_bytes + m - 1.  Scaling efficiency is therefore bounded by how
 per-shard DEVICE throughput decays as shards shrink (fixed kernel-launch /
-grid overhead amortizes over fewer bytes) — the strongest single-chip
+epilogue overhead amortizes over fewer bytes) — the strongest single-chip
 evidence for the >= 90% multi-host scaling target (BASELINE.md), standing
 in for the MPI reduction whose linearity is the reference paper's headline
 (main.c:463-489,656).
 
-Method: ONE host dispatch scans a stack of identical-size shards via
-jax.lax.map over the traceable per-shard count (FastScanner._device_count
-— the same trace a shard_map lane runs), so the measurement isolates
-device-side per-shard cost from the axon tunnel's ~20 ms per-dispatch host
-overhead (a real pod issues one dispatch for ALL shards; a naive
-one-dispatch-per-shard loop here measures only that host floor — see
-results/shardscale_r04.log for that curve: flat ~21-27 ms/scan at every
-size).  The stack holds total_bytes fixed (default 1 GiB) so device time
-stays well above the fetch RTT at every shard size; per-size rate is the
-best of `reps` queued timings.
+Method (round 5): the STACKED batch scan (FastScanner.count_stack /
+_device_count_stack) — one Pallas grid covers every shard of a (k, n)
+batch with shard-local validity, and ONE compaction + verify epilogue
+serves the whole stack.  This both amortizes the fp-tier epilogue that
+previously collapsed small-shard efficiency (0.40 at 4 MiB in r4) and
+replaces the r4 lax.map timing whose per-iteration dynamic-slice +
+sequential-dispatch overhead depressed rates (9.0 vs 14.4 GB/s on the
+same 256 MiB exact config).  Timing is the jitter-proof fori-repeat:
+q stacked sweeps in one dispatch behind an optimization barrier,
+per-sweep = (median t(q) - median t(1)) / (q - 1).
 
 Usage: python scripts/probe_shardscale.py [out=results/shardscale.jsonl]
 """
 import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+import functools
 import json
+import statistics
 import sys
 import time
 
@@ -39,28 +41,61 @@ from tpu_smatcher.core import datagen
 from tpu_smatcher.engines import make_fast
 
 
-TOTAL = 1 << 30          # bytes scanned per timing (fixed across shard sizes)
-REPS = 3
+TOTAL = 1 << 30          # bytes scanned per sweep (fixed across shard sizes)
+REPS = 5
+
+
+def stack_repeat(eng, batch, q):
+    """q full-stack sweeps in ONE dispatch (optimization-barrier-pinned).
+
+    The stacked scan takes (flat, batch) — the same buffer in 1-D and 2-D
+    form, flattened OUTSIDE the jit (an in-jit reshape feeding the pallas
+    operand is a measured ~20x compile blowup).  The barrier pins only the
+    flat view: the junction correction may hoist (it is constant across
+    sweeps and amortized in production batches the same way)."""
+    flat = batch.reshape(-1)
+
+    @jax.jit
+    def rep(f, b):
+        def body(i, carry):
+            f2, cp = jax.lax.optimization_barrier((f, carry[0]))
+            c, o = eng._device_count_stack((f2, b))
+            return cp + c, carry[1] | jnp.int32(o)
+        return jax.lax.fori_loop(0, q, body, (jnp.int32(0), jnp.int32(0)))
+
+    return rep(flat, batch)
 
 
 def batched_rate(eng, batch_dev):
-    """Device rate of scanning every row of (k, shard_len) in ONE dispatch:
-    jitted lax.map over the scanner's traceable per-shard count."""
-    k, n = batch_dev.shape
+    """Device rate of scanning every row of (k, shard_len): fori-repeat
+    over the single-dispatch stacked scan."""
+    reps_cache = {}
 
-    @jax.jit
-    def scan_all(b):
-        counts = jax.lax.map(lambda t: eng._device_count(t)[0], b)
-        return counts.sum()
+    def run(q):
+        if q not in reps_cache:
+            reps_cache[q] = functools.partial(stack_repeat, eng, batch_dev, q)
+        c, o = reps_cache[q]()
+        return int(np.asarray(c)), int(np.asarray(o))
 
-    total = int(scan_all(batch_dev))          # compile + warm + correctness
-    best = None
+    total1, o = run(1)                       # compile + warm + correctness
+    assert not o, "stack scan overflowed — probe config invalid"
+    t0 = time.time()
+    run(1)
+    d_est = max(time.time() - t0 - 0.030, 0.010)
+    q = max(2, min(9, 1 + int(0.8 / d_est)))
+    run(q)                                   # compile q variant
+    dts = []
     for _ in range(REPS):
         t0 = time.time()
-        int(scan_all(batch_dev))
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return k * n / best / 1e9, total
+        run(q)
+        tq = time.time() - t0
+        t0 = time.time()
+        run(1)
+        t1 = time.time() - t0
+        dts.append((tq - t1) / (q - 1))
+    dt = statistics.median(dts)
+    spread = (max(dts) - min(dts)) / dt
+    return TOTAL / dt / 1e9, total1, spread
 
 
 def main():
@@ -82,14 +117,15 @@ def main():
             n = mib << 20
             k = TOTAL // n
             batch = jax.device_put(jnp.asarray(text).reshape(k, n))
-            rate, total = batched_rate(eng, batch)
+            rate, total, spread = batched_rate(eng, batch)
             del batch
             if base_rate is None:
                 base_rate = rate
             eff = rate / base_rate
             row = {"tier": tier, "m": m, "p": p, "shard_mib": mib,
                    "gbps": round(rate, 3), "eff_vs_256mib": round(eff, 4),
-                   "shards_per_dispatch": k, "count": int(total)}
+                   "shards_per_dispatch": k, "count": int(total),
+                   "spread": round(spread, 4)}
             rows.append(row)
             print(json.dumps(row), flush=True)
     with open(out_path, "w") as f:

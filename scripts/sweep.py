@@ -86,51 +86,49 @@ def main():
                         c = eng.count(tdev)
                         times.append(time.perf_counter() - t0)
                     best = min(times)
-                    # device (steady-state) rate: queue q scans, fetch one —
-                    # small corpora are otherwise floored by the per-call
-                    # host round-trip (~30-40 ms over a tunneled link).
-                    # q scales until the queued device time is resolvable
-                    # (>= ~50 ms over the one-scan baseline): at q=9 the
-                    # subtraction cannot resolve sub-ms scans, and the
-                    # sub-8 MB cells were pure noise (BENCHMARKS.md r3).
-                    t0 = time.perf_counter()
-                    eng.count_async(tdev).result()
-                    t_one = time.perf_counter() - t0
-                    q = 9
-                    while True:
+                    # device (steady-state) rate, round 5: q back-to-back
+                    # scans inside ONE jitted fori-loop dispatch
+                    # (fast.make_repeat) — no host work between scans, so
+                    # the rate cannot be corrupted by dispatch timing.  The
+                    # r4 queued-subtraction methodology swung the sub-11 MB
+                    # cells ~60% between sessions (BENCHMARKS.md); paired
+                    # (t(q) - t(1)) / (q - 1) with a >= ~0.35 s device
+                    # window holds every cell to a few percent.
+                    rep = getattr(eng, "count_repeat_async", None)
+                    if rep is None:
+                        from tpu_smatcher.ops.common import active_fastpath
+                        fp = active_fastpath(eng)
+                        rep = fp.count_repeat_async if fp is not None else None
+                    best_dev, spread, q = best, None, 0
+                    if rep is not None:
+                        rep(tdev, 1).result()             # warm/compile
                         t0 = time.perf_counter()
-                        fs = [eng.count_async(tdev) for _ in range(q)]
-                        fs[-1].result()
-                        t_many = time.perf_counter() - t0
-                        dt = t_many - t_one
-                        if dt >= 0.05 or q >= 513:
-                            break
-                        q = min(513, max(2 * q,
-                                         int(q * 0.06 / max(dt, 1e-3))))
-                    best_dev = None
-                    for _ in range(args.reps):
-                        t0 = time.perf_counter()
-                        fs = [eng.count_async(tdev) for _ in range(q)]
-                        fs[-1].result()
-                        t_many = time.perf_counter() - t0
-                        t0 = time.perf_counter()
-                        eng.count_async(tdev).result()
-                        t_one = time.perf_counter() - t0
-                        d = (t_many - t_one) / (q - 1)
-                        if d <= 1e-5:      # subtraction noise: unmeasurable
-                            continue
-                        best_dev = d if best_dev is None else min(best_dev, d)
-                    if best_dev is None:
-                        best_dev = best    # fall back to the sync rate
+                        rep(tdev, 1).result()
+                        d_est = max(time.perf_counter() - t0 - 0.030, 1e-4)
+                        q = max(3, min(8192, 1 + int(0.35 / d_est)))
+                        rep(tdev, q).result()             # compile q variant
+                        dts = []
+                        for _ in range(args.reps):
+                            t0 = time.perf_counter()
+                            rep(tdev, q).result()
+                            tq = time.perf_counter() - t0
+                            t0 = time.perf_counter()
+                            rep(tdev, 1).result()
+                            t1 = time.perf_counter() - t0
+                            dts.append((tq - t1) / (q - 1))
+                        dts.sort()
+                        best_dev = dts[len(dts) // 2]     # median
+                        spread = round((dts[-1] - dts[0]) / best_dev, 4)
                     counts[eng_name] = int(c)
                     rec = {"corpus": name, "n": n, "sigma": sigma,
                            "m": args.m, "p_size": p_size, "engine": eng_name,
                            "matches": int(c), "scan_s": round(best, 5),
                            "first_scan_s": round(t_first, 4),
                            "bytes_per_s": round(n / best, 1),
-                           "device_scan_s": round(best_dev, 5),
+                           "device_scan_s": round(best_dev, 6),
                            "device_bytes_per_s": round(n / best_dev, 1),
-                           "queue": q, "backend": backend}
+                           "queue": q, "spread": spread,
+                           "method": "fori", "backend": backend}
                     emit_jsonl(args.out, rec)
                     print(f"  {name} p={p_size} {eng_name:5s} "
                           f"{c} matches  {n/best/1e9:.3f} GB/s "

@@ -340,3 +340,44 @@ def test_compact_valrows():
     _, o2, _ = compact_valrows(jnp.asarray(vals), caprows=R, cap=256,
                                row_slots=8)
     assert int(o2) == 1
+
+
+def test_count_stack_parity():
+    """count_stack == sum of per-text counts across tiers, including
+    unaligned shard lengths and a planted boundary straddler (which must
+    NOT count — the junction correction's job)."""
+    ab = Alphabet.of_size(4)
+    nsh, k = 30_000, 3
+    texts = [datagen.generate_text(nsh, ab, seed=s) for s in (1, 2, 3)]
+    batch = np.stack(texts)
+    for m, p in ((8, 100), (16, 64)):
+        pats = datagen.generate_patterns(np.concatenate(texts), p, m, ab,
+                                         frac_present=0.3, seed=9 + m)
+        truth = sum(datagen.count_matches(t, pats) for t in texts)
+        eng = make_fast(pats, backend="pallas", interpret=True)
+        assert eng.count_stack(batch) == truth
+    # planted straddler across the shard boundary
+    pats = datagen.generate_patterns(np.concatenate(texts), 64, 16, ab,
+                                     frac_present=0.3, seed=77)
+    t2 = batch.copy()
+    t2[0, -8:] = pats.codes[0][:8]
+    t2[1, :8] = pats.codes[0][8:]
+    truth = sum(datagen.count_matches(t2[i], pats) for i in range(k))
+    eng = make_fast(pats, backend="pallas", interpret=True)
+    assert eng.count_stack(t2) == truth
+    # xla-backend fallback path (scan_many)
+    eng2 = make_fast(pats, backend="xla")
+    assert eng2.count_stack(t2) == truth
+
+
+def test_count_repeat_async():
+    """reps back-to-back scans in one dispatch return reps * count and are
+    not collapsed by loop-invariant hoisting (the count must scale)."""
+    ab = Alphabet.dna()
+    text, pats = make_case(4, 8, 64, 50_000, seed=31)
+    truth = datagen.count_matches(text, pats)
+    eng = make_fast(pats, backend="pallas", interpret=True)
+    import jax.numpy as jnp
+    t = jnp.asarray(text)
+    assert eng.count_repeat_async(t, 1).result() == truth
+    assert eng.count_repeat_async(t, 3).result() == 3 * truth

@@ -1,7 +1,8 @@
 """m > 129 on the Pallas fast path (multi-view overlapped rows + part-wise
 MXU weights).  The reference kernels take any m (cuda/cuda_wm.cu:67-70);
-round 1 fell back to the XLA path past m=129 — now the fast path covers
-m <= 513 and longer patterns still fall back transparently."""
+round 1 fell back to the XLA path past m=129 — the fast path now covers
+m <= 4097 (E-row edge references, pallas_filter.edge_rows_for) and longer
+patterns still fall back transparently."""
 
 import numpy as np
 import pytest
@@ -11,7 +12,7 @@ from tpu_smatcher.core import datagen
 from tpu_smatcher.engines import make_engine, make_fast
 
 
-@pytest.mark.parametrize("m", [150, 512, 1024])
+@pytest.mark.parametrize("m", [150, 512, 1024, 2048])
 def test_long_pattern_fast_path_parity(m):
     ab = Alphabet.of_size(20)
     text = datagen.generate_text(30_000, ab, seed=11)
@@ -37,7 +38,9 @@ def test_beyond_max_falls_back():
     from tpu_smatcher.ops.pallas_filter import max_fast_m
     ab = Alphabet.of_size(20)
     m = max_fast_m() + 7
-    text = datagen.generate_text(10_000, ab, seed=14)
+    # text sized off the cap: the 2-device mesh below needs per-shard
+    # length >= m-1 for the one-hop halo
+    text = datagen.generate_text(3 * m, ab, seed=14)
     pats = datagen.generate_patterns(text, 8, m, ab, frac_present=0.5,
                                      seed=15)
     truth = datagen.count_matches(text, pats)
@@ -53,7 +56,7 @@ def test_beyond_max_falls_back():
 
     from tpu_smatcher.parallel import make_mesh
     from tpu_smatcher.parallel.dist import DistributedCounter
-    dc = DistributedCounter(eng.core, make_mesh(4), m=m, sigma=pats.sigma)
+    dc = DistributedCounter(eng.core, make_mesh(2), m=m, sigma=pats.sigma)
     assert dc.count(text) == truth
 
 

@@ -162,3 +162,40 @@ def test_native_sog_tables_match_python():
         py = build_sog(pats, sigma, width, native=False)
         na = build_sog(pats, sigma, width, native=True)
         np.testing.assert_array_equal(py.T, na.T)
+
+
+def test_native_match_enum_parity():
+    """tpu_match_enum == numpy attribution (positions sorted, smallest id
+    on byte-identical duplicates) — the off-TPU matches() path."""
+    from tpu_smatcher import native
+    from tpu_smatcher.core.datagen import match_ids
+    if native.load() is None:
+        pytest.skip("native toolchain unavailable")
+    ab = Alphabet.dna()
+    text = datagen.generate_text(200_000, ab, seed=51)
+    pats = datagen.generate_patterns(text, 200, 9, ab, frac_present=0.8,
+                                     seed=52)
+    codes = np.concatenate([pats.codes, pats.codes[:5]], axis=0)  # dups
+    pos, ids = native.match_enum_native(text, codes)
+    assert len(pos) == datagen.count_matches(text, pats)
+    assert np.all(np.diff(pos) > 0)
+    assert np.array_equal(ids, match_ids(text, pos, codes))
+
+
+def test_scanner_matches_native_offtpu():
+    """Engine matches() on a CPU backend (no active fast path) routes
+    through the native enumerator and agrees with ground truth."""
+    from tpu_smatcher import native
+    from tpu_smatcher.engines import make_engine
+    if native.load() is None:
+        pytest.skip("native toolchain unavailable")
+    ab = Alphabet.dna()
+    text = datagen.generate_text(120_000, ab, seed=53)
+    pats = datagen.generate_patterns(text, 64, 8, ab, frac_present=0.7,
+                                     seed=54)
+    eng = make_engine("wm", pats, fastpath=False)    # pure jnp + native attr
+    pos, ids = eng.matches(text)
+    assert len(pos) == datagen.count_matches(text, pats)
+    from tpu_smatcher.core.datagen import match_ids
+    assert np.array_equal(np.asarray(ids),
+                          match_ids(text, np.asarray(pos), pats.codes))

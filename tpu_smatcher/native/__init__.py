@@ -24,6 +24,7 @@ _tried = False
 _i8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 
 
 def _configure(lib):
@@ -47,6 +48,10 @@ def _configure(lib):
                                        + [_i32p, _i32p])
     lib.tpu_build_sog.restype = ctypes.c_int64
     lib.tpu_build_sog.argtypes = ([_i8p] + [ctypes.c_int64] * 4 + [_u32p])
+    lib.tpu_match_enum.restype = ctypes.c_int64
+    lib.tpu_match_enum.argtypes = [_i8p, ctypes.c_int64, _i8p,
+                                   ctypes.c_int64, ctypes.c_int64,
+                                   _i64p, _i32p, ctypes.c_int64]
     return lib
 
 
@@ -217,3 +222,26 @@ def build_sbom_native(patterns: np.ndarray, sigma: int):
             e = int(f_next[e])
         F[int(s)] = ids[::-1]           # restore insertion order
     return transition[:n].copy(), F, n
+
+
+def match_enum_native(text: np.ndarray, patterns: np.ndarray):
+    """(positions int64 sorted, pattern_ids int64) for every window of
+    `text` equal to >= 1 pattern — smallest original id on ties/duplicates
+    (the attribution contract of scanner.matches()); None if the native
+    library is unavailable.  The native off-TPU attribution path: a
+    threaded bucket+memcmp scan (builders.cpp:tpu_match_enum) instead of
+    the O(matches x m) numpy fallback datagen.match_ids."""
+    lib = load()
+    if lib is None:
+        return None
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
+    p, m = patterns.shape
+    total = int(lib.tpu_count_cpu(text, text.size, patterns, p, m))
+    pos = np.empty(total, np.int64)
+    ids = np.empty(total, np.int32)
+    got = int(lib.tpu_match_enum(text, text.size, patterns, p, m,
+                                 pos, ids, total))
+    if got != total:            # cannot happen: same match predicate
+        raise AssertionError(f"native enum {got} != count {total}")
+    return pos, ids.astype(np.int64)

@@ -267,6 +267,113 @@ int64_t tpu_count_cpu(const uint8_t* text, int64_t n, const uint8_t* patterns,
   return count;
 }
 
+// CPU match ENUMERATION with pattern attribution — the native off-TPU path
+// behind scanner_matches (ops/common.py): every window start whose window
+// equals >= 1 pattern, with the SMALLEST matching original pattern id (the
+// id the reference's verify loops compute but only count, wu/wu.c:184-201).
+// Same tail-hash bucketing as tpu_count_cpu, but chains are built in
+// DESCENDING id order (head inserts), so the first memcmp hit on a walk is
+// the smallest id.  Two-pass threading: disjoint end ranges count, prefix
+// offsets, then fill — output is position-sorted by construction.
+// Returns the match total (callers size out_pos/out_id from a prior
+// tpu_count_cpu call); -1 if the provided capacity is too small.
+int64_t tpu_match_enum(const uint8_t* text, int64_t n, const uint8_t* patterns,
+                       int64_t p, int64_t m, int64_t* out_pos,
+                       int32_t* out_id, int64_t cap) {
+  if (n < m || p == 0 || m <= 0) return 0;
+  if (m == 1) {
+    int32_t first[256];
+    for (int i = 0; i < 256; ++i) first[i] = -1;
+    for (int64_t j = p - 1; j >= 0; --j) first[patterns[j]] = (int32_t)j;
+    int64_t c = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      if (first[text[i]] >= 0) {
+        if (c >= cap) return -1;
+        out_pos[c] = i;
+        out_id[c] = first[text[i]];
+        ++c;
+      }
+    }
+    return c;
+  }
+  const int64_t kb = m < 16 ? m : 16;
+  auto hash_tail = [kb](const uint8_t* end_m1) {
+    uint32_t h = 0;
+    for (int64_t k = 0; k < kb; ++k) h = h * 131u + end_m1[-k];
+    return h & 0xFFFFu;
+  };
+  std::vector<int32_t> head(65536, -1), nxt(p);
+  for (int64_t j = p - 1; j >= 0; --j) {     // descending: chains ascend
+    const uint32_t h = hash_tail(patterns + j * m + m - 1);
+    nxt[j] = head[h];
+    head[h] = (int32_t)j;
+  }
+  auto match_at = [&](int64_t e) -> int32_t {
+    const uint32_t h = hash_tail(text + e);
+    for (int32_t j = head[h]; j >= 0; j = nxt[j]) {
+      if (memcmp(text + e - m + 1, patterns + (int64_t)j * m,
+                 (size_t)m) == 0)
+        return j;                            // ascending chain: smallest id
+    }
+    return -1;
+  };
+  const int64_t total_ends = n - (m - 1);
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t nt = hw ? (int64_t)hw : 1;
+  if (nt > total_ends / (1 << 16)) nt = total_ends / (1 << 16);
+  if (nt <= 1) {
+    int64_t c = 0;
+    for (int64_t e = m - 1; e < n; ++e) {
+      const int32_t j = match_at(e);
+      if (j >= 0) {
+        if (c >= cap) return -1;
+        out_pos[c] = e - m + 1;
+        out_id[c] = j;
+        ++c;
+      }
+    }
+    return c;
+  }
+  const int64_t per = (total_ends + nt - 1) / nt;
+  std::vector<int64_t> cnt(nt, 0);
+  {
+    std::vector<std::thread> threads;
+    for (int64_t t = 0; t < nt; ++t) {
+      threads.emplace_back([&, t]() {
+        const int64_t e0 = m - 1 + t * per;
+        const int64_t e1 = std::min(n, e0 + per);
+        int64_t c = 0;
+        for (int64_t e = e0; e < e1; ++e) c += match_at(e) >= 0;
+        cnt[t] = c;
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+  std::vector<int64_t> off(nt + 1, 0);
+  for (int64_t t = 0; t < nt; ++t) off[t + 1] = off[t] + cnt[t];
+  if (off[nt] > cap) return -1;
+  {
+    std::vector<std::thread> threads;
+    for (int64_t t = 0; t < nt; ++t) {
+      threads.emplace_back([&, t]() {
+        const int64_t e0 = m - 1 + t * per;
+        const int64_t e1 = std::min(n, e0 + per);
+        int64_t o = off[t];
+        for (int64_t e = e0; e < e1; ++e) {
+          const int32_t j = match_at(e);
+          if (j >= 0) {
+            out_pos[o] = e - m + 1;
+            out_id[o] = j;
+            ++o;
+          }
+        }
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+  return off[nt];
+}
+
 // FASTA/raw corpus encoder (the reference's data path is C — the missing
 // helper2 load_files; core/corpus.py load_fasta is the python fallback).
 // lut[b]: code point for raw byte b, or 255 = skip (whitespace).  '>' header

@@ -920,6 +920,27 @@ def _positions_piece_xla(piece, bitmaps, bucket_ids, packed, bucket_fp2, *,
     return idxs, jnp.int32(n_cand > cap)
 
 
+def make_repeat(fn, reps: int):
+    """jit a loop running the traceable (count, overflow) scan `fn` reps
+    times back-to-back on one input, returning (summed count, OR'd
+    overflow).  The optimization barrier makes the input depend on the
+    loop carry so XLA cannot hoist the loop-invariant scan (without it all
+    reps collapse to one scan — measured).  The jitter-proof timing
+    primitive behind count_repeat_async (FastScanner + EngineFastPath) and
+    the bench/sweep device rates."""
+
+    @jax.jit
+    def repeat(t):
+        def body(i, carry):
+            t2, cprev = jax.lax.optimization_barrier((t, carry[0]))
+            c, o = fn(t2)
+            return cprev + c, carry[1] | jnp.int32(o)
+        return jax.lax.fori_loop(0, reps, body,
+                                 (jnp.int32(0), jnp.int32(0)))
+
+    return repeat
+
+
 class ScanFuture:
     """Handle for an in-flight device scan (count_async/scan_many).
 
@@ -1330,24 +1351,92 @@ class FastScanner:
         if not hasattr(self, "_jrepeat"):
             self._jrepeat = {}
         if key not in self._jrepeat:
-            fn = self._device_count_traceable()
-
-            @jax.jit
-            def repeat(t):
-                def body(i, carry):
-                    # the barrier makes the text depend on the loop carry,
-                    # so XLA cannot hoist the (otherwise loop-invariant)
-                    # scan out of the loop — without it all reps collapse
-                    # to one scan (measured: q=33 ran in t(q=1))
-                    t2, cprev = jax.lax.optimization_barrier((t, carry[0]))
-                    c, o = fn(t2)
-                    return cprev + c, carry[1] | jnp.int32(o)
-                return jax.lax.fori_loop(0, reps, body,
-                                         (jnp.int32(0), jnp.int32(0)))
-
-            self._jrepeat[key] = repeat
+            self._jrepeat[key] = make_repeat(self._device_count_traceable(),
+                                             reps)
         c, o = self._jrepeat[key](text)
         return ScanFuture(c, o)
+
+    def _stack_supported(self, nsh: int) -> bool:
+        """Whether a (k, nsh) stack can ride the single-dispatch stacked
+        scan: Pallas fast path active and shards long enough to hold a
+        window (junction strings then partition the straddlers exactly)."""
+        from tpu_smatcher.ops.pallas_filter import max_fast_m
+        return (self.backend == "pallas" and self.m <= max_fast_m()
+                and nsh >= self.m)
+
+    def _device_count_stack(self, batch):
+        """Traceable (total count, overflow) over a (k, nsh) stack of
+        equal-length texts in ONE dispatch.
+
+        The flattened stack is scanned by the PLAIN kernels (one grid, one
+        compaction + verify epilogue for the whole batch — the fixed
+        per-scan costs that dominate small-shard scans amortize across k),
+        which also counts the k-1 groups of windows STRADDLING shard
+        boundaries; those are subtracted exactly by scanning the junction
+        strings J_i = batch[i, -(m-1):] ++ batch[i+1, :m-1] with a vmapped
+        tiled-XLA core (each J_i's m-1 windows are precisely shard i's
+        straddlers).  Takes (flat, batch) — the SAME buffer in 1-D and 2-D
+        form, flattened OUTSIDE the jit: both in-kernel per-shard masking
+        and an in-jit reshape feeding the pallas call are measured compile
+        dead ends (30-150x blowups — see pallas_filter._valid_starts and
+        docs/DESIGN.md)."""
+        from tpu_smatcher.ops import pallas_filter as pf
+        ft = self.ft
+        text, batch = batch               # (k*nsh,) flat + (k, nsh) views
+        k, nsh = batch.shape
+        m = ft.m
+        if ft.exact:
+            c = pf._exact_count_flat(text, ft.bitmaps[0], m=ft.m,
+                                     sigma=ft.sigma, n=k * nsh,
+                                     interpret=self.interpret)
+            o = jnp.int32(0)
+        else:
+            c, o = self._fp_device_count(text)
+        if k > 1 and m > 1:
+            junctions = jnp.concatenate(
+                [batch[:-1, nsh - m + 1:], batch[1:, :m - 1]], axis=1)
+            # a junction has m-1 starts, so candidates can never exceed a
+            # tile-sized cap (no overflow, and the per-row compaction
+            # scatter stays tiny under the vmap)
+            tile = max(64, 1 << (m - 1).bit_length())
+            core = functools.partial(fast_count_core, ft=ft, tile=tile,
+                                     cap=tile)
+            jc, jo = jax.vmap(core)(junctions)
+            c = c - jnp.sum(jc, dtype=jnp.int32)
+            o = o | jnp.int32(jnp.any(jo > 0))
+        return c, o
+
+    def count_stack_async(self, batch) -> ScanFuture:
+        """Total match count over a (k, nsh) batch of equal-length texts.
+
+        On the Pallas fast path with block-aligned nsh this is ONE device
+        dispatch (_device_count_stack); otherwise it degrades to the
+        pipelined per-text scans of scan_many.  Overflow retries via
+        per-text ladders (total, never an undercount)."""
+        from tpu_smatcher.ops.common import check_count32
+        batch = jnp.asarray(batch, jnp.uint8)
+        k, nsh = batch.shape
+        check_count32(int(k * nsh))
+
+        def retry():
+            return sum(self.scan_many(list(batch)))
+
+        if not self._stack_supported(int(nsh)):
+            return ScanFuture(jnp.int32(retry()), jnp.int32(0))
+        key = ("stack", self._k_extra, self._match_dense)
+        if not hasattr(self, "_jstack"):
+            self._jstack = {}
+        if key not in self._jstack:
+            self._jstack[key] = jax.jit(self._device_count_stack)
+        # flatten OUTSIDE the jit (in-jit reshapes feeding pallas are a
+        # measured 30x compile blowup); both args view the same buffer
+        c, o = self._jstack[key]((batch.reshape(-1), batch))
+        return ScanFuture(c, o, retry=retry)
+
+    def count_stack(self, batch) -> int:
+        """Synchronous count_stack_async — the sum of count() over the
+        batch rows, measured in one dispatch where shapes allow."""
+        return self.count_stack_async(batch).result()
 
     def count_async(self, text) -> ScanFuture:
         """Dispatch a scan and return immediately; the count stays on the

@@ -274,23 +274,25 @@ def _run_stages_flat(text, stages, tables, *, m, n, mode, nw_min=0,
     (R, row_bytes) overlap concat (~2n extra HBM write+read).  Same output
     contracts as _run_stages."""
     from tpu_smatcher.ops.common import cdiv
+    from tpu_smatcher.ops.pallas_filter import edge_rows_for
     n_starts = max(0, n - m + 1)
     h = cdiv(max(m - 1, 1), LANES)
     nv = 1 + h
-    nb8 = rb // 8
+    eE = edge_rows_for(m)
+    nbE = rb // eE
     R0 = max(1, cdiv(n_starts, LANES))
     R0 = cdiv(R0, rb) * rb
     if n == R0 * LANES and int(text.shape[0]) == n:
         R = R0
         rows = text.reshape(R, LANES)
-        last = R // 8 - 1
-        edge_map = lambda i: (jnp.minimum(i * nb8 + nb8, last), 0)
+        last = R // eE - 1
+        edge_map = lambda i: (jnp.minimum(i * nbE + nbE, last), 0)
     else:
         R = (max(R0, cdiv(cdiv(nw_min, LANES // 4), rb) * rb)
              if mode == "slots" else R0)
-        padded = jnp.zeros(((R + 8) * LANES,), jnp.uint8).at[:n].set(text[:n])
-        rows = padded.reshape(R + 8, LANES)
-        edge_map = lambda i: (i * nb8 + nb8, 0)
+        padded = jnp.zeros(((R + eE) * LANES,), jnp.uint8).at[:n].set(text[:n])
+        rows = padded.reshape(R + eE, LANES)
+        edge_map = lambda i: (i * nbE + nbE, 0)
     kern = functools.partial(_stages_kernel_flat, stages=tuple(stages), m=m,
                              n_starts=n_starts, rb=rb, mode=mode, nv=nv)
     if mode == "slots":
@@ -318,7 +320,7 @@ def _run_stages_flat(text, stages, tables, *, m, n, mode, nw_min=0,
         grid=(R // rb,),
         in_specs=[pl.BlockSpec((rb, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, LANES), edge_map,
+                  pl.BlockSpec((eE, LANES), edge_map,
                                memory_space=pltpu.VMEM)] + table_specs,
         out_specs=out_spec,
         out_shape=out_shape,
@@ -575,6 +577,22 @@ class EngineFastPath:
     def scan_many(self, texts) -> list[int]:
         """Pipelined batch counts: dispatch all, fetch once (ops/fast.py)."""
         return [f.result() for f in [self.count_async(t) for t in texts]]
+
+    def count_repeat_async(self, text, reps: int):
+        """reps back-to-back scans of the same text in ONE device dispatch
+        — the jitter-proof timing primitive (fast.make_repeat; see
+        FastScanner.count_repeat_async)."""
+        from tpu_smatcher.ops.common import check_count32
+        from tpu_smatcher.ops.fast import ScanFuture, make_repeat
+        text = jnp.asarray(text, jnp.uint8)
+        check_count32(int(text.shape[0]))
+        if not hasattr(self, "_jrepeat"):
+            self._jrepeat = {}
+        if reps not in self._jrepeat:
+            self._jrepeat[reps] = make_repeat(
+                functools.partial(self._count_impl, fused=True), reps)
+        c, o = self._jrepeat[reps](text)
+        return ScanFuture(c, o)
 
     def positions(self, text) -> np.ndarray:
         """Sorted start positions of ALL matching windows — unbounded.

@@ -60,18 +60,20 @@ SLOT_RB = 128            # slot-extraction sub-block: the 16-slot budget is
                          # 9 blocks exceeding 16 candidates (max 21), so a
                          # bigger filter block must NOT dilate the slot
                          # granularity
-MAX_FAST_M = 1025        # longest pattern on the Pallas fast path (8 halo
-                         # row-views; the reference kernels take any m —
+MAX_FAST_M = 4097        # longest pattern on the Pallas fast path (the
+                         # reference kernels take any m —
                          # cuda/cuda_wm.cu:67-70 — so long patterns must not
-                         # fall off a cliff).  Round 3 capped at 513; the
-                         # flat kernel holds the extra context views well
-                         # inside the 64 MB scoped VMEM (each is one
-                         # (rb, 128) bf16 temporary), and cross-view key
-                         # accumulation is int32-exact for any view count
-                         # (_fp_keys_views), so 1025 costs only compile
-                         # time.  Beyond this the tiled XLA scan takes
-                         # over transparently (measured in
-                         # results/probe_longm_r04.log).
+                         # fall off a cliff).  Round 3 capped at 513 (8-row
+                         # edge ref = 9 context views), round 4 at 1025;
+                         # round 5 generalizes the edge reference to
+                         # E = pow2ceil(h) rows (edge_rows_for), so h = 32
+                         # views reach m = 4097.  Each view is one
+                         # (rb, 128) int32+bf16 temporary inside the 64 MB
+                         # scoped VMEM, and cross-view key accumulation is
+                         # int32-exact for any view count (_fp_keys_views).
+                         # Beyond this the tiled XLA scan takes over
+                         # transparently (~0.01 GB/s — documented envelope,
+                         # results/probe_longm_r04b.log).
 
 
 def max_fast_m() -> int:
@@ -123,6 +125,21 @@ def _window_positions(rb: int):
     rows = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 0) + r0
     lanes = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
     return rows * LANES + lanes
+
+
+def _valid_starts(rb: int, n_starts: int):
+    """(rb, 128) int32 0/1 valid-window-start mask for the current block.
+
+    KEEP THIS AFFINE in program_id: position < n_starts lowers to cheap
+    per-block predication.  A measured dead end (r5): per-shard masks for
+    stacked batches — any non-affine form (scalar division, local = gpos
+    mod shard_bytes via &, even a constant-true elementwise compare
+    replacing the affine one) sent Mosaic's compile time from 2.5 s to
+    70-400 s, scaling with grid size.  Stacked batch scans therefore use
+    UNMASKED global validity plus an exact junction-string correction
+    outside the kernel (FastScanner._device_count_stack)."""
+    gpos = _window_positions(rb)
+    return (gpos < n_starts).astype(jnp.int32)
 
 
 def _bitmap_lookup(bitmap_ref, keys: jnp.ndarray, rb: int) -> jnp.ndarray:
@@ -444,23 +461,37 @@ def wid_weights_views(d: int, bits: int, off: int, m: int):
     return tuple(out)
 
 
+def edge_rows_for(m: int) -> int:
+    """Rows of following-text edge reference the flat kernels stage per
+    block: the power-of-two >= h = ceil((m-1)/128) context views (8
+    covers m <= 1025 — the round-4 cap; 16/32 extend the fast path to
+    m <= 4097 instead of the 1000x XLA-fallback cliff past 1025)."""
+    h = cdiv(max(m - 1, 1), LANES)
+    e = 8
+    while e < h:
+        e *= 2
+    return e
+
+
 def _ctx_views(a_ref, edge_ref, rb: int, h: int) -> list:
     """The h+1 128-byte context views of a flat (rb, 128) block, derived
     in-kernel: view j rows are the block's rows shifted up by j, with the
-    final j rows patched from the following 8 text rows (edge_ref) — the
-    (m-1)-byte halo of the overlap tile without materializing the (R,
-    row_bytes) concat in HBM (see _exact_flat_kernel's measurements)."""
+    final j rows patched from the following E = edge_ref rows of text —
+    the (m-1)-byte halo of the overlap tile without materializing the
+    (R, row_bytes) concat in HBM (see _exact_flat_kernel's
+    measurements)."""
     a = a_ref[:].astype(jnp.int32)
     views = [a]
     if h:
+        E = edge_ref.shape[0]
         row = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 0)
         epad = jnp.concatenate(
-            [jnp.zeros((rb - 8, LANES), jnp.int32),
+            [jnp.zeros((rb - E, LANES), jnp.int32),
              edge_ref[:].astype(jnp.int32)], axis=0)
         for j in range(1, h + 1):
             rolled = jnp.roll(a, -j, axis=0)
-            # shift 0 (j == 8) lowers to a zero-size slice Mosaic rejects
-            patch = epad if j == 8 else jnp.roll(epad, 8 - j, axis=0)
+            # shift 0 (j == E) lowers to a zero-size slice Mosaic rejects
+            patch = epad if j == E else jnp.roll(epad, E - j, axis=0)
             views.append(jnp.where(row >= rb - j, patch, rolled))
     return views
 
@@ -510,7 +541,7 @@ def _candidates_flat(a_ref, edge_ref, bitmap_refs, w_refs, *, m, n_stages,
         hit = _bitmap_lookup(bitmap_refs[s],
                              derived_keys(bases, cd[s], smask), rb)
         cand = hit if cand is None else (cand & hit)
-    return jnp.where(_window_positions(rb) < n_starts, cand, 0)
+    return cand & _valid_starts(rb, n_starts)
 
 
 def filter_rb(n_stages: int, banks: int, rb: int = FILTER_RB) -> int:
@@ -587,7 +618,8 @@ def _rank_weights(rb: int):
 def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
                         n_stages: int, slots: int = BLOCK_SLOTS,
                         nw_min: int = 0, rb: int = FILTER_RB,
-                        cd: tuple | None = None, interpret: bool = False):
+                        cd: tuple | None = None,
+                        interpret: bool = False):
     """((nblocks, 128) int32 slot rows, (>= nw_min,) int32 word view).
 
     Slot rows: lanes [0, slots) hold global candidate positions in block
@@ -612,21 +644,22 @@ def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
     n_starts = max(0, n - m + 1)
     h = cdiv(max(m - 1, 1), LANES)
     nv = 1 + h
-    nb8 = rb // 8
+    eE = edge_rows_for(m)
+    nbE = rb // eE
     R0 = max(1, cdiv(n_starts, LANES))
     R0 = cdiv(R0, rb) * rb
     if n == R0 * LANES and int(text.shape[0]) == n:
         R = R0
         rows = text.reshape(R, LANES)
-        last = R // 8 - 1
-        edge_map = lambda i: (jnp.minimum(i * nb8 + nb8, last), 0)
+        last = R // eE - 1
+        edge_map = lambda i: (jnp.minimum(i * nbE + nbE, last), 0)
     else:
         # min_rows extends the grid with zero rows so the fused word view
         # covers the verify gather margin
         R = max(R0, cdiv(cdiv(nw_min, LANES // 4), rb) * rb)
-        padded = jnp.zeros(((R + 8) * LANES,), jnp.uint8).at[:n].set(text[:n])
-        rows = padded.reshape(R + 8, LANES)
-        edge_map = lambda i: (i * nb8 + nb8, 0)
+        padded = jnp.zeros(((R + eE) * LANES,), jnp.uint8).at[:n].set(text[:n])
+        rows = padded.reshape(R + eE, LANES)
+        edge_map = lambda i: (i * nbE + nbE, 0)
     weights = tuple(w for i in range(n_base_fps(n_stages, cd))
                     for w in fp_weights_views(FP_MULTS[i], m))
     tril, triu = _rank_weights(SLOT_RB)
@@ -639,7 +672,8 @@ def filter_slots_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
         grid=(R // rb,),
         in_specs=[pl.BlockSpec((rb, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, LANES), edge_map, memory_space=pltpu.VMEM)]
+                  pl.BlockSpec((eE, LANES), edge_map,
+                               memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
            for b in bitmaps]
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -749,7 +783,7 @@ def _cascade_kernel(a_ref, edge_ref, *refs, m, k1, n_stages, n_starts, rb,
                              derived_keys(bases, cd[s], smask), rb)
         cand = hit if cand is None else (cand & hit)
     gpos = _window_positions(rb)
-    cand = jnp.where(gpos < n_starts, cand, 0)
+    cand = cand & _valid_starts(rb, n_starts)
     packed, valid, ovf = _rowpack(
         cand, [gpos, bases[0] | (bases[1] << 16), bases[2]], triu_ref,
         rb=rb, slots=slots)
@@ -794,19 +828,20 @@ def cascade_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
     n_starts = max(0, n - m + 1)
     h = cdiv(max(m - 1, 1), LANES)
     nv = 1 + h
-    nb8 = rb // 8
+    eE = edge_rows_for(m)
+    nbE = rb // eE
     R0 = max(1, cdiv(n_starts, LANES))
     R0 = cdiv(R0, rb) * rb
     if n == R0 * LANES and int(text.shape[0]) == n:
         R = R0
         rows = text.reshape(R, LANES)
-        last = R // 8 - 1
-        edge_map = lambda i: (jnp.minimum(i * nb8 + nb8, last), 0)
+        last = R // eE - 1
+        edge_map = lambda i: (jnp.minimum(i * nbE + nbE, last), 0)
     else:
         R = max(R0, cdiv(cdiv(nw_min, LANES // 4), rb) * rb)
-        padded = jnp.zeros(((R + 8) * LANES,), jnp.uint8).at[:n].set(text[:n])
-        rows = padded.reshape(R + 8, LANES)
-        edge_map = lambda i: (i * nb8 + nb8, 0)
+        padded = jnp.zeros(((R + eE) * LANES,), jnp.uint8).at[:n].set(text[:n])
+        rows = padded.reshape(R + eE, LANES)
+        edge_map = lambda i: (i * nbE + nbE, 0)
     weights = tuple(w for i in range(3)
                     for w in fp_weights_views(FP_MULTS[i], m))
     triu = _triu_weights()
@@ -818,7 +853,8 @@ def cascade_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
         grid=(R // rb,),
         in_specs=[pl.BlockSpec((rb, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, LANES), edge_map, memory_space=pltpu.VMEM)]
+                  pl.BlockSpec((eE, LANES), edge_map,
+                               memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
            for b in bitmaps]
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -872,7 +908,7 @@ def _exact_flat_kernel(a_ref, edge_ref, bitmap_ref, w_ref, out_ref, *,
           + jnp.dot(bf, w_ref[384:512], preferred_element_type=jnp.float32))
     keys = (lo.astype(jnp.int32) + (hi.astype(jnp.int32) << 8)) & 0xFFFF
     hit = _bitmap_lookup(bitmap_ref, keys, rb)
-    hit = jnp.where(_window_positions(rb) < n_starts, hit, 0)
+    hit = hit & _valid_starts(rb, n_starts)
     s = jnp.sum(hit, dtype=jnp.int32)
 
     @pl.when(pl.program_id(0) == 0)
@@ -1037,19 +1073,20 @@ def filter_mask_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
     filter_slots_pallas)."""
     rb = filter_rb(n_stages, int(bitmaps[0].shape[0]), rb)
     n_starts = max(0, n - m + 1)
-    h = cdiv(max(m - 1, 1), LANES)
-    nv = 1 + h
-    nb8 = rb // 8
     R = max(1, cdiv(n_starts, LANES))
     R = cdiv(R, rb) * rb
+    h = cdiv(max(m - 1, 1), LANES)
+    nv = 1 + h
+    eE = edge_rows_for(m)
+    nbE = rb // eE
     if n == R * LANES and int(text.shape[0]) == n:
         rows = text.reshape(R, LANES)
-        last = R // 8 - 1
-        edge_map = lambda i: (jnp.minimum(i * nb8 + nb8, last), 0)
+        last = R // eE - 1
+        edge_map = lambda i: (jnp.minimum(i * nbE + nbE, last), 0)
     else:
-        padded = jnp.zeros(((R + 8) * LANES,), jnp.uint8).at[:n].set(text[:n])
-        rows = padded.reshape(R + 8, LANES)
-        edge_map = lambda i: (i * nb8 + nb8, 0)
+        padded = jnp.zeros(((R + eE) * LANES,), jnp.uint8).at[:n].set(text[:n])
+        rows = padded.reshape(R + eE, LANES)
+        edge_map = lambda i: (i * nbE + nbE, 0)
     weights = tuple(w for i in range(n_base_fps(n_stages, cd))
                     for w in fp_weights_views(FP_MULTS[i], m))
     kern = functools.partial(_filter_mask_flat_kernel, m=m,
@@ -1060,7 +1097,8 @@ def filter_mask_pallas(text: jnp.ndarray, bitmaps: tuple, *, m: int, n: int,
         grid=(R // rb,),
         in_specs=[pl.BlockSpec((rb, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, LANES), edge_map, memory_space=pltpu.VMEM)]
+                  pl.BlockSpec((eE, LANES), edge_map,
+                               memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
            for b in bitmaps]
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
