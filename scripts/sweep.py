@@ -100,25 +100,54 @@ def main():
                         fp = active_fastpath(eng)
                         rep = fp.count_repeat_async if fp is not None else None
                     best_dev, spread, q = best, None, 0
-                    if rep is not None:
+                    try:
+                        if rep is None:
+                            raise OverflowError("no repeat-capable path")
+
+                        def measure(q):
+                            rep(tdev, q).result()         # compile q variant
+                            dts = []
+                            for _ in range(args.reps):
+                                t0 = time.perf_counter()
+                                rep(tdev, q).result()
+                                tq = time.perf_counter() - t0
+                                t0 = time.perf_counter()
+                                rep(tdev, 1).result()
+                                t1 = time.perf_counter() - t0
+                                dts.append((tq - t1) / (q - 1))
+                            dts.sort()
+                            med = dts[len(dts) // 2]
+                            sp = (round((dts[-1] - dts[0]) / med, 4)
+                                  if med > 0 else None)
+                            return med, sp
+
                         rep(tdev, 1).result()             # warm/compile
-                        t0 = time.perf_counter()
-                        rep(tdev, 1).result()
-                        d_est = max(time.perf_counter() - t0 - 0.030, 1e-4)
-                        q = max(3, min(8192, 1 + int(0.35 / d_est)))
-                        rep(tdev, q).result()             # compile q variant
-                        dts = []
-                        for _ in range(args.reps):
-                            t0 = time.perf_counter()
-                            rep(tdev, q).result()
-                            tq = time.perf_counter() - t0
+                        t1s = []
+                        for _ in range(2):
                             t0 = time.perf_counter()
                             rep(tdev, 1).result()
-                            t1 = time.perf_counter() - t0
-                            dts.append((tq - t1) / (q - 1))
-                        dts.sort()
-                        best_dev = dts[len(dts) // 2]     # median
-                        spread = round((dts[-1] - dts[0]) / best_dev, 4)
+                            t1s.append(time.perf_counter() - t0)
+                        # min of two: a single RTT spike must not shrink q
+                        d_est = max(min(t1s) - 0.030, 1e-4)
+                        # power-of-two q: each q compiles its own fori
+                        # program, so quantizing makes repeat sessions hit
+                        # the persistent compile cache
+                        q = max(4, min(8192,
+                                       1 << round(0.35 / d_est)
+                                       .bit_length()))
+                        best_dev, spread = measure(q)
+                        if best_dev <= 0 or spread is None or spread > 0.5:
+                            # sub-ms scans with a mis-sized q: escalate once
+                            q = min(8192, q * 8)
+                            best_dev, spread = measure(q)
+                        if best_dev is None or best_dev <= 0:
+                            best_dev, spread = best, None
+                    except OverflowError:
+                        # engine fast paths without adaptation state can
+                        # overflow deterministically on match-dense cells
+                        # (their count() falls back exactly, but the fused
+                        # device loop is untimeable) — record the sync rate
+                        best_dev, spread, q = best, None, 0
                     counts[eng_name] = int(c)
                     rec = {"corpus": name, "n": n, "sigma": sigma,
                            "m": args.m, "p_size": p_size, "engine": eng_name,
