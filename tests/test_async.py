@@ -174,3 +174,27 @@ def test_chunked_verify_matches_full_verify():
                                      jnp.int32(n_fill), ft,
                                      n_starts=n_starts))
         assert chunked == full, (n_fill, chunked, full)
+
+
+def test_engine_async_match_dense_adapts():
+    """An engine's fused async path on a match-dense corpus: the first
+    overflow retries exactly and pins later async scans to the fallback
+    FastScanner's adaptive (dense) path — no per-scan sync ladder."""
+    from tpu_smatcher.core.patterns import PatternSet
+    from tpu_smatcher.engines import make_engine
+    from tpu_smatcher.ops.common import active_fastpath
+    ab = Alphabet.dna()
+    text = datagen.generate_text(120_000, ab, seed=61)
+    pats = datagen.generate_patterns(text, 32, 12, ab, frac_present=0.5,
+                                     seed=62)
+    text = datagen.plant(text, pats.codes[0], list(range(0, 119_000, 150)))
+    truth = datagen.count_matches(text, pats)
+    eng = make_engine("wm", pats, interpret=True)
+    fp = active_fastpath(eng)
+    fp.cap = 1024                      # force the fused path to overflow
+    fp._fallback = None                # rebuild fallback at the small cap
+    import dataclasses
+    assert eng.count_async(text).result() == truth      # first: retries
+    assert getattr(fp, "_use_fallback_async", False)
+    assert eng.count_async(text).result() == truth      # steady: fallback
+    assert fp.count_repeat_async(text, 2).result() == 2 * truth

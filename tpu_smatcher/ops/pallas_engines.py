@@ -565,14 +565,31 @@ class EngineFastPath:
         """Dispatch a device-only scan; result stays on device until
         ScanFuture.result() (see ops/fast.py — same pipelining contract).
         retry overrides the overflow fallback (engines pass their scanner's
-        count, which falls back to the capless jnp scan)."""
+        count, which falls back to the capless jnp scan).
+
+        The engine's fused path has no adaptation state (its stage-0 is a
+        fixed table), so a match-dense corpus would overflow EVERY async
+        scan and re-run the sync ladder each time; after the first
+        overflow, async scans route through the fallback FastScanner over
+        the same tables, whose ladder adapts (dense-pass switch) — one
+        retry, then steady single dispatches (counts identical by
+        construction: same ft)."""
         from tpu_smatcher.ops.common import check_count32
         from tpu_smatcher.ops.fast import ScanFuture
         text = jnp.asarray(text, jnp.uint8)
         check_count32(int(text.shape[0]))
+        if getattr(self, "_use_fallback_async", False):
+            fb = self._fallback_scanner()
+            return fb.count_async(text)
+
+        def adapt_retry():
+            c = (retry or functools.partial(self.count, text))()
+            self._use_fallback_async = True
+            self._fallback_scanner().count(text)    # prime its adaptation
+            return c
+
         c, o = self._jcount_fused(text)
-        return ScanFuture(c, o,
-                          retry=retry or functools.partial(self.count, text))
+        return ScanFuture(c, o, retry=adapt_retry)
 
     def scan_many(self, texts) -> list[int]:
         """Pipelined batch counts: dispatch all, fetch once (ops/fast.py)."""
@@ -581,18 +598,29 @@ class EngineFastPath:
     def count_repeat_async(self, text, reps: int):
         """reps back-to-back scans of the same text in ONE device dispatch
         — the jitter-proof timing primitive (fast.make_repeat; see
-        FastScanner.count_repeat_async)."""
+        FastScanner.count_repeat_async).  Overflow adapts like
+        count_async: re-run (and pin future scans) through the fallback
+        FastScanner's adaptive path."""
         from tpu_smatcher.ops.common import check_count32
         from tpu_smatcher.ops.fast import ScanFuture, make_repeat
         text = jnp.asarray(text, jnp.uint8)
         check_count32(int(text.shape[0]))
+        if getattr(self, "_use_fallback_async", False):
+            return self._fallback_scanner().count_repeat_async(text, reps)
+
+        def adapt_retry():
+            self._use_fallback_async = True
+            fb = self._fallback_scanner()
+            fb.count(text)                          # prime its adaptation
+            return fb.count_repeat_async(text, reps).result()
+
         if not hasattr(self, "_jrepeat"):
             self._jrepeat = {}
         if reps not in self._jrepeat:
             self._jrepeat[reps] = make_repeat(
                 functools.partial(self._count_impl, fused=True), reps)
         c, o = self._jrepeat[reps](text)
-        return ScanFuture(c, o)
+        return ScanFuture(c, o, retry=adapt_retry)
 
     def positions(self, text) -> np.ndarray:
         """Sorted start positions of ALL matching windows — unbounded.
