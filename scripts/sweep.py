@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--m", type=int, default=8)       # execute.sh:16
     ap.add_argument("--full", action="store_true",
                     help="reference corpus sizes (default: scaled to 1/16)")
+    ap.add_argument("--corpora", nargs="+", default=None,
+                    help="subset of corpus names (default: all six)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="sweep.jsonl")
     args = ap.parse_args()
@@ -60,7 +62,14 @@ def main():
     print(f"sweep: backend={backend} scale=1/{scale} -> {args.out}",
           file=sys.stderr)
 
-    for name, n_full, sigma in CORPORA:
+    corpora = CORPORA
+    if args.corpora:
+        unknown = set(args.corpora) - {c[0] for c in CORPORA}
+        if unknown:
+            ap.error(f"unknown corpora: {sorted(unknown)}")
+        corpora = [c for c in CORPORA if c[0] in args.corpora]
+
+    for name, n_full, sigma in corpora:
         n = n_full // scale
         ab = Alphabet.of_size(sigma)
         text = datagen.generate_text(n, ab, seed=1)
